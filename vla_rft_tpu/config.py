@@ -1,0 +1,274 @@
+"""Config tree mirroring verl's hydra surface.
+
+The reference configures the RFT run through hydra + OmegaConf
+(train/verl/verl/trainer/config/vla_rft_grpo_trainer.yaml, overrides in
+examples/grpo_trainer/run_vla_rft.sh).  We keep the same group/key names so a
+user of the reference can port a launch script by changing only paths, but the
+loader is a small dependency-free dict wrapper with dotted-path overrides
+("hydra-lite") instead of hydra.
+"""
+from __future__ import annotations
+
+import copy
+import json
+from typing import Any, Dict, List, Optional
+
+
+class Config:
+    """Attribute-accessible nested dict with dotted get/set and yaml IO."""
+
+    def __init__(self, d: Optional[Dict[str, Any]] = None):
+        object.__setattr__(self, "_d", {})
+        for k, v in (d or {}).items():
+            self._d[k] = Config(v) if isinstance(v, dict) else v
+
+    # -- mapping / attribute access ------------------------------------------
+    def __getattr__(self, k):
+        try:
+            return object.__getattribute__(self, "_d")[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self._d[k] = Config(v) if isinstance(v, dict) else v
+
+    def __getitem__(self, k):
+        return self._d[k]
+
+    def __setitem__(self, k, v):
+        self.__setattr__(k, v)
+
+    def __contains__(self, k):
+        return k in self._d
+
+    def get(self, k, default=None):
+        return self._d.get(k, default)
+
+    def keys(self):
+        return self._d.keys()
+
+    def items(self):
+        return self._d.items()
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            k: (v.to_dict() if isinstance(v, Config) else v) for k, v in self._d.items()
+        }
+
+    def __repr__(self):
+        return f"Config({json.dumps(self.to_dict(), default=str, indent=1)})"
+
+    def copy(self) -> "Config":
+        return Config(copy.deepcopy(self.to_dict()))
+
+    # -- dotted-path ops ------------------------------------------------------
+    def set_path(self, path: str, value: Any) -> None:
+        parts = path.split(".")
+        node = self
+        for p in parts[:-1]:
+            if p not in node._d or not isinstance(node._d[p], Config):
+                node._d[p] = Config()
+            node = node._d[p]
+        node._d[parts[-1]] = Config(value) if isinstance(value, dict) else value
+
+    def get_path(self, path: str, default=None):
+        node = self
+        for p in path.split("."):
+            if isinstance(node, Config) and p in node._d:
+                node = node._d[p]
+            else:
+                return default
+        return node
+
+    def apply_overrides(self, overrides: List[str]) -> "Config":
+        """Apply `a.b.c=value` hydra-style overrides (values parsed as python/json)."""
+        for ov in overrides:
+            path, _, raw = ov.partition("=")
+            self.set_path(path.strip(), _parse_value(raw.strip()))
+        return self
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        import yaml
+
+        with open(path) as f:
+            return cls(yaml.safe_load(f))
+
+
+def _parse_value(raw: str) -> Any:
+    low = raw.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none", "~"):
+        return None
+    for cast in (int, float):
+        try:
+            return cast(raw)
+        except ValueError:
+            pass
+    if raw.startswith("[") or raw.startswith("{"):
+        try:
+            return json.loads(raw.replace("'", '"'))
+        except json.JSONDecodeError:
+            pass
+    return raw.strip("'\"")
+
+
+def vla_rft_default_config() -> Config:
+    """Defaults mirroring vla_rft_grpo_trainer.yaml + run_vla_rft.sh overrides
+    for the LIBERO ctx_msp run."""
+    return Config(
+        {
+            "data": {
+                "train_batch_size": 16,
+                "val_batch_size": 4,
+                "shuffle_buffer_size": 100_000,
+                "image_aug": True,
+                "use_raw_image": True,
+                "max_prompt_length": 1095,
+                "max_response_length": 568,
+                "video": {
+                    "no_aug": False,
+                    "segment_length": 9,
+                    "dataset_name": "libero_spatial_no_noops",
+                    "dataset_path": None,
+                    "resolution": [224, 224],
+                },
+            },
+            "processor": {
+                # ctx_msp LIBERO token space (run_vla_rft.sh:56,73-77;
+                # ivideogpt/processor.py:191-203)
+                "use_img_gt_ac": True,
+                "interact": True,
+                "tokenizer": {"name": "ctx_cnn", "path": None},
+                "tokenizer_micro_batch_size": 4,
+                "context_length": 1,
+                "action_dim": 7,
+                "action_bins": 256,
+                "action_ranges_path": None,
+                "max_length": 1663,
+                "visual_token_num": 4375,
+                "bos_token_id": 9006,
+                "eos_token_id": 9007,
+                "pad_token_id": 9007,
+                "gen_output_length": 568,
+                "gen_input_length": 1095,
+                "tokens_per_frame": 64,
+                "processor_type": "ctx_msp",
+            },
+            "actor_rollout_ref": {
+                "hybrid_engine": True,
+                "model": {
+                    "ckpt_path": None,
+                    "cfg_path": None,
+                    "enable_gradient_checkpointing": False,
+                    "use_remove_padding": False,
+                },
+                "actor": {
+                    "num_patches": 256,
+                    "num_tokens": 64,
+                    "log_l1_loss": True,
+                    "vocab_size": 9008,
+                    "ppo_mini_batch_size": 16,
+                    "ppo_micro_batch_size_per_gpu": 8,
+                    "use_dynamic_bsz": False,
+                    "grad_clip": 1.0,
+                    "clip_ratio": 0.2,
+                    "clip_ratio_low": 0.2,
+                    "clip_ratio_high": 0.2,
+                    "clip_ratio_c": 3.0,
+                    "loss_agg_mode": "token-mean",
+                    "entropy_coeff": 0.003,
+                    "use_mse_loss": True,
+                    "mse_loss_coef": 0.01,
+                    "mse_kl_low": 0.0,
+                    "mse_kl_high": 0.2,
+                    "log_mse_loss": False,
+                    "use_kl_loss": False,
+                    "kl_loss_coef": 0.001,
+                    "kl_loss_type": "low_var_kl",
+                    "ppo_epochs": 1,
+                    "shuffle": False,
+                    "optim": {
+                        "lr": 1e-6,
+                        "lr_warmup_steps": 10,
+                        "lr_warmup_steps_ratio": 0.0,
+                        "total_training_steps": -1,
+                        "weight_decay": 0.01,
+                        "betas": [0.9, 0.999],
+                        "sigma_lr": 1e-5,
+                        "sigma_weight_decay": 0.0,
+                    },
+                },
+                "ref": {"log_prob_micro_batch_size_per_gpu": 8},
+                "rollout": {
+                    "name": "flow",  # reference: 'hf' (HFRollout); here a scan rollout
+                    "micro_batch_size": 16,
+                    "num_patches": 256,
+                    "num_tokens": 64,
+                    "temperature": 1.0,
+                    "prompt_length": 1095,
+                    "response_length": 568,
+                    "do_sample": True,
+                    "n": 16,
+                    "log_prob_micro_batch_size_per_gpu": 16,
+                    "num_flow_steps": 10,
+                    "val_kwargs": {"top_k": -1, "top_p": 1.0, "temperature": 1.0, "n": 1, "do_sample": True},
+                },
+            },
+            "world_model_rollout": {
+                "model": {"path": None, "use_remove_padding": False},
+                "world_model": {"vocab_size": 9008, "interact": True},
+                "rollout": {
+                    "w_gt_ac": True,
+                    "is_validate": True,
+                    "name": "scan",  # reference: vLLM; here lax.scan decode
+                    "temperature": 1.0,
+                    "top_k": -1,
+                    "top_p": 0.8,
+                    "prompt_length": 1095,
+                    "response_length": 568,
+                    "do_sample": True,
+                    "interact": True,
+                    "interact_max_tokens": 64,
+                    "val_kwargs": {"top_k": -1, "top_p": 0.8, "temperature": 1.0},
+                },
+            },
+            "algorithm": {
+                "gamma": 1.0,
+                "lam": 1.0,
+                "adv_estimator": "grpo",
+                "uniform_std": False,
+                "use_kl_in_reward": False,
+                "kl_penalty": "kl",
+                "kl_ctrl": {"type": "fixed", "kl_coef": 0.001, "horizon": 10000, "target_kl": 0.1},
+            },
+            "trainer": {
+                "use_ac_reward": False,
+                "ac_reward_type": "l1",
+                "total_epochs": 30,
+                "total_training_steps": 400,
+                "project_name": "vla_rft",
+                "experiment_name": "vla_rft_fm_tpu",
+                "logger": ["console"],
+                "nnodes": 1,
+                "n_devices": -1,
+                "save_freq": 50,
+                "save_last_freq": 20,
+                "save_last_num": 2,
+                "resume_mode": "auto",
+                "resume_from_path": None,
+                "val_before_train": False,
+                "val_iters": 10,
+                "test_freq": -1,
+                "critic_warmup": 0,
+                "default_local_dir": "checkpoints/vla_rft_tpu",
+                "reward_fn": "mae",
+                "loss_weight": {"lpips": 1, "mae": 1, "mse": 0, "ssim": 0, "psnr": 0},
+                "msp_reward_aggregate": "mean",
+                "msp_reward_discount": 0.95,
+                "seed": 0,
+            },
+            "mesh": {"dp": -1, "fsdp": 1, "tp": 1, "sp": 1},
+        }
+    )
