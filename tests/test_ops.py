@@ -1,0 +1,142 @@
+"""ops tests: masked stats (torch_functional parity), sampling, attention.
+
+Mirrors the role of train/verl/tests/gpu_utility/test_torch_functional.py.
+Pallas kernels run in interpret mode on CPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vla_rft_tpu.ops.attention import attention
+from vla_rft_tpu.ops.masked import (
+    entropy_from_logits,
+    get_response_mask,
+    logprobs_from_logits,
+    masked_mean,
+    masked_whiten,
+)
+from vla_rft_tpu.ops.sampling import apply_top_p, sample_token
+
+
+def test_logprobs_from_logits():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(2, 5, 11)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 11, size=(2, 5)))
+    lp = logprobs_from_logits(logits, labels)
+    ref = jax.nn.log_softmax(logits, -1)
+    ref = jnp.take_along_axis(ref, labels[..., None], -1)[..., 0]
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ref), rtol=1e-5)
+
+
+def test_entropy_from_logits():
+    logits = jnp.asarray(np.random.default_rng(1).normal(size=(3, 7)), jnp.float32)
+    h = entropy_from_logits(logits)
+    p = np.asarray(jax.nn.softmax(logits, -1))
+    ref = -(p * np.log(p)).sum(-1)
+    np.testing.assert_allclose(np.asarray(h), ref, rtol=1e-5)
+
+
+def test_masked_mean_whiten():
+    x = jnp.asarray([[1.0, 2.0, 100.0], [3.0, 4.0, 100.0]])
+    m = jnp.asarray([[1, 1, 0], [1, 1, 0]])
+    np.testing.assert_allclose(float(masked_mean(x, m)), 2.5)
+    w = masked_whiten(x, m)
+    vals = np.asarray(w)[np.asarray(m, bool)]
+    np.testing.assert_allclose(vals.mean(), 0.0, atol=1e-5)
+
+
+def test_response_mask():
+    ids = jnp.asarray([[5, 6, 9, 7, 9], [1, 2, 3, 4, 5]])
+    m = get_response_mask(ids, eos_token_id=9)
+    np.testing.assert_array_equal(np.asarray(m), [[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]])
+
+
+def test_top_p_keeps_nucleus():
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    out = np.asarray(apply_top_p(logits, 0.8))
+    assert out[0, 0] > -1e29 and out[0, 1] > -1e29
+    assert out[0, 2] <= -1e29 and out[0, 3] <= -1e29
+
+
+def test_sample_token_greedy_and_random():
+    logits = jnp.asarray([[0.0, 10.0, 0.0]])
+    tok = sample_token(jax.random.key(0), logits, do_sample=False)
+    assert int(tok[0]) == 1
+    toks = [
+        int(sample_token(jax.random.key(i), logits, temperature=1.0)[0]) for i in range(8)
+    ]
+    assert all(t == 1 for t in toks)  # overwhelming logit
+
+
+# ------------------------------------------------------------------- attention
+def _rand_qkv(rng, B=2, Sq=96, Sk=96, Hq=4, Hkv=2, D=32, dtype=jnp.float32):
+    q = jnp.asarray(rng.normal(size=(B, Sq, Hq, D)), dtype) * 0.3
+    k = jnp.asarray(rng.normal(size=(B, Sk, Hkv, D)), dtype) * 0.3
+    v = jnp.asarray(rng.normal(size=(B, Sk, Hkv, D)), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_xla(causal):
+    rng = np.random.default_rng(0)
+    q, k, v = _rand_qkv(rng)
+    kv_lens = jnp.asarray([96, 70])
+    ref = attention(q, k, v, causal=causal, kv_lens=kv_lens, impl="xla")
+    out = attention(
+        q, k, v, causal=causal, kv_lens=kv_lens, impl="pallas",
+        block_q=32, block_k=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_unpadded_shapes_pad_internally():
+    rng = np.random.default_rng(1)
+    q, k, v = _rand_qkv(rng, Sq=50, Sk=77)
+    ref = attention(q, k, v, causal=True, impl="xla")
+    out = attention(
+        q, k, v, causal=True, impl="pallas", block_q=32, block_k=32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_q_offset_chunked_decode():
+    """Chunked decode: attending with q chunk at offset into a longer kv."""
+    rng = np.random.default_rng(2)
+    B, Sk, Hq, Hkv, D = 2, 64, 4, 2, 32
+    full_q = jnp.asarray(rng.normal(size=(B, Sk, Hq, D)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.normal(size=(B, Sk, Hkv, D)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.normal(size=(B, Sk, Hkv, D)), jnp.float32)
+    ref = attention(full_q, k, v, causal=True, impl="xla")
+    # last 32 queries as a chunk with offset 32
+    chunk = full_q[:, 32:]
+    off = jnp.full((B,), 32, jnp.int32)
+    out = attention(
+        chunk, k, v, causal=True, q_offset=off, impl="pallas",
+        block_q=32, block_k=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, 32:]), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_grad_matches_xla(causal):
+    rng = np.random.default_rng(3)
+    q, k, v = _rand_qkv(rng, B=1, Sq=64, Sk=64, Hq=4, Hkv=2, D=32)
+    kv_lens = jnp.asarray([50])
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention(q, k, v, causal=causal, kv_lens=kv_lens, impl="xla") ** 2)
+
+    def loss_fl(q, k, v):
+        return jnp.sum(
+            attention(
+                q, k, v, causal=causal, kv_lens=kv_lens, impl="pallas",
+                block_q=32, block_k=32, interpret=True,
+            )
+            ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(loss_fl, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)

@@ -1,0 +1,57 @@
+"""Categorical sampling with temperature / top-k / top-p.
+
+TPU-native replacement for vLLM's SamplingParams machinery used by the WM
+rollout (reference: verl/workers/rollout/vllm_rollout/vllm_rollout.py:143-213
+with top_p=0.8, temperature=1.0, top_k=-1 in the run).  Pure XLA, shaped for
+use inside `lax.scan` decode loops: static vocab, no data-dependent shapes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Mask logits outside the top-k. k<=0 disables."""
+    if k is None or k <= 0:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Nucleus filtering. Keeps the smallest set of tokens with cumulative
+    probability >= p (vLLM semantics: tokens whose prefix-exclusive cumsum
+    < p survive). p>=1 disables."""
+    if p is None or p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while the cumulative mass *before* them is < p
+    keep_sorted = (cum - probs) < p
+    # threshold = smallest kept logit
+    thresh = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def sample_token(
+    rng: jax.Array,
+    logits: jnp.ndarray,
+    temperature: float = 1.0,
+    top_k: int = -1,
+    top_p: float = 1.0,
+    do_sample: bool = True,
+) -> jnp.ndarray:
+    """Sample token ids from (..., V) logits. temperature==0 or
+    do_sample=False -> greedy."""
+    if not do_sample or temperature == 0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / jnp.asarray(temperature, jnp.float32)
+    logits = apply_top_k(logits, top_k)
+    logits = apply_top_p(logits, top_p)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
