@@ -1,0 +1,95 @@
+"""Decoder core tests: causality, padding, KV-cache decode == full forward.
+
+Covers the consistency the reference checks via hf↔vllm logprob tests
+(train/verl/tests/rollout/test_vllm_hf_loader.py): cached incremental decode
+must reproduce the full teacher-forced forward.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vla_rft_tpu.models.transformer import Decoder, TransformerConfig
+
+CFG = TransformerConfig(
+    vocab_size=97,
+    hidden_size=64,
+    intermediate_size=128,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    qkv_bias=True,
+    tie_word_embeddings=True,
+    dtype=jnp.float32,
+    param_dtype=jnp.float32,
+    attn_impl="xla",
+)
+
+
+def _init(cfg=CFG, B=2, S=12):
+    model = Decoder(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (B, S)))
+    params = model.init(jax.random.key(0), ids)
+    return model, params, ids
+
+
+def test_causality():
+    model, params, ids = _init()
+    logits, _, _ = model.apply(params, ids)
+    ids2 = ids.at[:, -1].set((ids[:, -1] + 1) % CFG.vocab_size)
+    logits2, _, _ = model.apply(params, ids2)
+    # earlier positions unaffected by changing the last token
+    np.testing.assert_allclose(
+        np.asarray(logits[:, :-1]), np.asarray(logits2[:, :-1]), atol=1e-5
+    )
+    assert not np.allclose(np.asarray(logits[:, -1]), np.asarray(logits2[:, -1]))
+
+
+def test_padding_invariance():
+    model, params, ids = _init(B=1, S=8)
+    logits, _, _ = model.apply(params, ids, kv_lens=jnp.asarray([8]))
+    padded = jnp.pad(ids, ((0, 0), (0, 4)))
+    logits_p, _, _ = model.apply(params, padded, kv_lens=jnp.asarray([8]))
+    np.testing.assert_allclose(
+        np.asarray(logits[:, :8]), np.asarray(logits_p[:, :8]), atol=1e-5
+    )
+
+
+def test_kv_cache_matches_full_forward():
+    model, params, ids = _init(B=2, S=12)
+    full_logits, _, _ = model.apply(params, ids)
+
+    max_len = 16
+    cache = model.init_cache(2, max_len, dtype=jnp.float32)
+    # prefill first 8
+    pre_logits, _, cache = model.apply(
+        params, ids[:, :8], cache=cache, cache_index=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(pre_logits), np.asarray(full_logits[:, :8]), atol=1e-4
+    )
+    # decode the remaining 4 one token at a time
+    for t in range(8, 12):
+        step_logits, _, cache = model.apply(
+            params, ids[:, t : t + 1], cache=cache, cache_index=t
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, t]), atol=1e-4
+        )
+
+
+def test_chunked_prefill_matches():
+    model, params, ids = _init(B=2, S=12)
+    full_logits, _, _ = model.apply(params, ids)
+    cache = model.init_cache(2, 16, dtype=jnp.float32)
+    _, _, cache = model.apply(params, ids[:, :6], cache=cache, cache_index=0)
+    logits2, _, cache = model.apply(params, ids[:, 6:12], cache=cache, cache_index=6)
+    np.testing.assert_allclose(
+        np.asarray(logits2), np.asarray(full_logits[:, 6:12]), atol=1e-4
+    )
+
+
+def test_wm_config_shapes():
+    cfg = TransformerConfig.wm_llama(vocab_size=9008)
+    assert cfg.hidden_size == 1024 and cfg.num_layers == 24 and cfg.num_heads == 16
+    cfg_q = TransformerConfig.qwen25_0_5b()
+    assert cfg_q.num_kv_heads == 2 and cfg_q.tie_word_embeddings

@@ -1,0 +1,290 @@
+"""Decoder-only transformer core (LLaMA / Qwen2 family).
+
+One flax module covers both LLM backbones of the reference:
+
+* the world model — a from-scratch HF LLaMA, 24L/1024h/16 heads, vocab 9008
+  (reference: train/verl/ivideogpt/configs/llama.json;
+  run_vla_rft.sh:56 sets vocab_size=9008 for the ctx_msp token space);
+* the policy backbone — Qwen2.5-0.5B ("minivla",
+  prismatic/extern/hf/configuration_prismatic.py:57): GQA 14/2 heads with
+  qkv bias, tied embeddings.
+
+It also stands in for the reference's Megatron tensor-parallel llama/qwen2
+re-implementations (verl/models/llama/megatron/modeling_llama_megatron.py):
+tensor parallelism here is a sharding annotation on the same module, not a
+separate model.
+
+TPU-first choices: Pallas flash attention (ops/attention.py), `nn.scan` over
+layers (one compiled layer body), static-shape KV cache updated with
+`lax.dynamic_update_slice` for `lax.scan` decode loops (replacing the
+reference's vLLM engine, verl/third_party/vllm/vllm_v_0_6_3/llm.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vla_rft_tpu.ops.attention import attention
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: Optional[int] = None
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    qkv_bias: bool = False
+    tie_word_embeddings: bool = False
+    max_position_embeddings: int = 8192
+    dtype: Any = jnp.bfloat16  # compute dtype
+    param_dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @staticmethod
+    def wm_llama(vocab_size: int = 9008, **kw) -> "TransformerConfig":
+        """ivideogpt/configs/llama.json with the run's vocab override."""
+        d = dict(
+            vocab_size=vocab_size,
+            hidden_size=1024,
+            intermediate_size=4096,
+            num_layers=24,
+            num_heads=16,
+            num_kv_heads=16,
+            rope_theta=10000.0,
+            rms_norm_eps=1e-6,
+            qkv_bias=False,
+            tie_word_embeddings=False,
+        )
+        d.update(kw)
+        return TransformerConfig(**d)
+
+    @staticmethod
+    def wm_llama_small(vocab_size: int = 4633, **kw) -> "TransformerConfig":
+        d = dict(
+            vocab_size=vocab_size,
+            hidden_size=768,
+            intermediate_size=3072,
+            num_layers=12,
+            num_heads=12,
+            num_kv_heads=12,
+        )
+        d.update(kw)
+        return TransformerConfig(**d)
+
+    @staticmethod
+    def qwen25_0_5b(**kw) -> "TransformerConfig":
+        d = dict(
+            vocab_size=151936,
+            hidden_size=896,
+            intermediate_size=4864,
+            num_layers=24,
+            num_heads=14,
+            num_kv_heads=2,
+            rope_theta=1_000_000.0,
+            rms_norm_eps=1e-6,
+            qkv_bias=True,
+            tie_word_embeddings=True,
+            max_position_embeddings=32768,
+        )
+        d.update(kw)
+        return TransformerConfig(**d)
+
+
+# ------------------------------------------------------------------ building blocks
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    param_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        x = x.astype(jnp.float32)
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + self.eps)
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],), self.param_dtype)
+        return (x * w.astype(jnp.float32)).astype(dtype)
+
+
+def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """NeoX-style rotary embedding. x: (B, S, H, D), positions: (B, S)."""
+    d = x.shape[-1]
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    angles = positions[..., None].astype(jnp.float32) * freqs  # (B, S, D/2)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x, positions, kv_lens, cache=None, cache_index=None, causal=True):
+        cfg = self.cfg
+        hd, nh, nkv = cfg.hd, cfg.num_heads, cfg.num_kv_heads
+        dense = lambda feats, name, bias: nn.DenseGeneral(
+            feats, axis=-1, use_bias=bias, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name=name,
+        )
+        B, S, _ = x.shape
+        q = dense((nh, hd), "q_proj", cfg.qkv_bias)(x)
+        k = dense((nkv, hd), "k_proj", cfg.qkv_bias)(x)
+        v = dense((nkv, hd), "v_proj", cfg.qkv_bias)(x)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+
+        new_cache = None
+        if cache is not None:
+            ck, cv = cache  # (B, L, nkv, hd)
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+            new_cache = (ck, cv)
+            kv = (ck, cv)
+            kv_lens_eff = jnp.minimum(kv_lens, cache_index + S)
+            q_offset = jnp.full((B,), cache_index, jnp.int32) if S > 0 else None
+            out = attention(
+                q, kv[0], kv[1], causal=causal, kv_lens=kv_lens_eff,
+                q_offset=q_offset, impl="xla" if S < 32 else cfg.attn_impl,
+            )
+        else:
+            out = attention(q, k, v, causal=causal, kv_lens=kv_lens, impl=cfg.attn_impl)
+        out = nn.DenseGeneral(
+            cfg.hidden_size, axis=(-2, -1), use_bias=False, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="o_proj",
+        )(out)
+        return out, new_cache
+
+
+class MLP(nn.Module):
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        d = lambda f, name: nn.Dense(
+            f, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name
+        )
+        gate = d(cfg.intermediate_size, "gate_proj")(x)
+        up = d(cfg.intermediate_size, "up_proj")(x)
+        return d(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
+
+
+class DecoderLayer(nn.Module):
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x, positions, kv_lens, cache=None, cache_index=None, causal=True):
+        cfg = self.cfg
+        h, new_cache = Attention(cfg, name="self_attn")(
+            RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="input_layernorm")(x),
+            positions, kv_lens, cache, cache_index, causal,
+        )
+        x = x + h
+        x = x + MLP(cfg, name="mlp")(
+            RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="post_attention_layernorm")(x)
+        )
+        return x, new_cache
+
+
+class Decoder(nn.Module):
+    """LLaMA/Qwen2-style causal decoder with optional KV cache.
+
+    Call conventions:
+      * full forward: (input_ids | inputs_embeds), kv_lens -> logits, hidden
+      * prefill:      pass empty cache (init_cache) and cache_index=0
+      * decode step:  pass current cache and cache_index=<tokens so far>
+    """
+
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        kv_lens: Optional[jnp.ndarray] = None,
+        positions: Optional[jnp.ndarray] = None,
+        cache: Optional[Dict] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+        causal: bool = True,
+        compute_logits: bool = True,
+    ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[Dict]]:
+        cfg = self.cfg
+        embed = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="embed_tokens",
+        )
+        if inputs_embeds is None:
+            inputs_embeds = embed(input_ids)
+        B, S, _ = inputs_embeds.shape
+        if positions is None:
+            base = jnp.arange(S, dtype=jnp.int32)[None, :]
+            positions = base + (cache_index if cache_index is not None else 0)
+            positions = jnp.broadcast_to(positions, (B, S))
+        if kv_lens is None:
+            if cache is None:
+                kv_lens = jnp.full((B,), S, jnp.int32)
+            else:
+                # uniform-length decode: everything up to cache_index + S is valid
+                kv_lens = jnp.broadcast_to(
+                    jnp.asarray(cache_index + S, jnp.int32), (B,)
+                )
+        x = inputs_embeds
+
+        layer_cls = DecoderLayer
+        if cfg.remat:
+            layer_cls = nn.remat(DecoderLayer, static_argnums=(6,))
+
+        def body(mdl, carry, layer_cache):
+            h, pos = carry
+            h, new_cache = mdl(h, pos, kv_lens, layer_cache, cache_index, causal)
+            return (h, pos), new_cache
+
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=0,
+            out_axes=0,
+            length=cfg.num_layers,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )
+        carry, new_layer_caches = scan(
+            layer_cls(cfg, name="layers"), (x, positions), cache
+        )
+        x, _ = carry
+        x = RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="norm")(x)
+
+        logits = None
+        if compute_logits:
+            if cfg.tie_word_embeddings:
+                logits = embed.attend(x.astype(cfg.dtype))
+            else:
+                logits = nn.Dense(
+                    cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, name="lm_head",
+                )(x)
+            logits = logits.astype(jnp.float32)
+        return logits, x, new_layer_caches
+
+    def init_cache(self, batch_size: int, max_len: int, dtype=None) -> Dict:
+        cfg = self.cfg
+        dtype = dtype or cfg.dtype
+        shape = (cfg.num_layers, batch_size, max_len, cfg.num_kv_heads, cfg.hd)
+        return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
