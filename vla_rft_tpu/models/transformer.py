@@ -224,12 +224,15 @@ class Decoder(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         causal: bool = True,
         compute_logits: bool = True,
+        embed_only: bool = False,
     ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[Dict]]:
         cfg = self.cfg
         embed = nn.Embed(
             cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, name="embed_tokens",
         )
+        if embed_only:
+            return embed(input_ids)
         if inputs_embeds is None:
             inputs_embeds = embed(input_ids)
         B, S, _ = inputs_embeds.shape
