@@ -1,0 +1,162 @@
+"""World-model rollout + reward pipeline tests.
+
+Covers the reference's hf<->vllm consistency checks
+(tests/rollout/test_vllm_hf_loader.py) translated to this design: the scan
+rollout's greedy decode must match step-by-step decode, and teacher-forced
+logprob of a generated sequence must be consistent with the rollout's own
+sampling distribution support. Plus LPIPS/PSNR/SSIM sanity and msp reward
+semantics."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vla_rft_tpu.models.lpips import LPIPS, psnr, ssim
+from vla_rft_tpu.models.tokenizers import CompressiveVQModelFSQ
+from vla_rft_tpu.models.transformer import Decoder, TransformerConfig
+from vla_rft_tpu.workers.processor import ProcessorConfig
+from vla_rft_tpu.workers.reward import RewardConfig, ac_reward, aggregate_msp, msp_reward
+from vla_rft_tpu.workers.wm_rollout import WMRolloutConfig, compute_log_prob, generate_sequences
+
+WM_CFG = TransformerConfig(
+    vocab_size=120, hidden_size=32, intermediate_size=64, num_layers=2,
+    num_heads=4, num_kv_heads=4, dtype=jnp.float32, param_dtype=jnp.float32,
+    attn_impl="xla",
+)
+ROLL = WMRolloutConfig(
+    prompt_length=10, response_length=3 * 6, num_frames=3,
+    interact_max_tokens=4, action_dim=2, do_sample=False,  # greedy for determinism
+)
+
+
+def _init_wm(B=2):
+    wm = Decoder(WM_CFG)
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, 100, (B, ROLL.prompt_length)), jnp.int32)
+    actions = jnp.asarray(rng.integers(100, 119, (B, 4, 2)), jnp.int32)
+    params = wm.init(jax.random.key(0), prompt)
+    return wm, params, prompt, actions
+
+
+def test_wm_rollout_shapes_and_layout():
+    wm, params, prompt, actions = _init_wm()
+    resp = generate_sequences(wm, params, jax.random.key(1), prompt, actions, ROLL)
+    assert resp.shape == (2, ROLL.response_length)
+    # teacher-forced action tokens appear at the right slots
+    r = np.asarray(resp).reshape(2, 3, 6)
+    for f in range(3):
+        np.testing.assert_array_equal(r[:, f, 4:], np.asarray(actions[:, f + 1]))
+
+
+def test_wm_greedy_rollout_matches_manual_decode():
+    """The scan loop == a hand-rolled full-forward argmax loop."""
+    wm, params, prompt, actions = _init_wm(B=1)
+    resp = np.asarray(
+        generate_sequences(wm, params, jax.random.key(1), prompt, actions, ROLL)
+    )[0]
+
+    seq = list(np.asarray(prompt)[0])
+    out = []
+    for f in range(3):
+        for _ in range(4):
+            logits, _, _ = wm.apply(params, jnp.asarray([seq], jnp.int32))
+            tok = int(jnp.argmax(logits[0, -1]))
+            seq.append(tok)
+            out.append(tok)
+        for a in np.asarray(actions)[0, f + 1]:
+            seq.append(int(a))
+            out.append(int(a))
+    np.testing.assert_array_equal(resp, np.asarray(out))
+
+
+def test_wm_logprob_of_greedy_is_max():
+    wm, params, prompt, actions = _init_wm(B=1)
+    resp = generate_sequences(wm, params, jax.random.key(1), prompt, actions, ROLL)
+    full = jnp.concatenate([prompt, resp], axis=1)
+    lp = compute_log_prob(wm, params, full, ROLL.response_length)
+    assert lp.shape == (1, ROLL.response_length)
+    # greedy visual tokens must be the argmax -> logp >= log(1/vocab)
+    logits, _, _ = wm.apply(params, full)
+    pred = jnp.argmax(logits[:, ROLL.prompt_length - 1 : -1], axis=-1)
+    vis_mask = np.zeros(ROLL.response_length, bool)
+    for f in range(3):
+        vis_mask[f * 6 : f * 6 + 4] = True
+    np.testing.assert_array_equal(
+        np.asarray(pred)[0, vis_mask], np.asarray(resp)[0, vis_mask]
+    )
+
+
+# ------------------------------------------------------------------ reward
+def test_psnr_ssim_identity():
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 16, 16, 3)), jnp.float32)
+    assert float(psnr(x, x).min()) > 70
+    np.testing.assert_allclose(np.asarray(ssim(x, x)), 1.0, atol=1e-4)
+    y = jnp.clip(x + 0.3, 0, 1)
+    assert float(psnr(x, y)[0]) < float(psnr(x, x)[0])
+    assert float(ssim(x, y)[0]) < 0.99
+
+
+def test_lpips_zero_on_identity():
+    lp = LPIPS()
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    params = lp.init(jax.random.key(0), x, x)
+    d_same = lp.apply(params, x, x)
+    np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-6)
+    y = jnp.clip(x + 0.5, -1, 1)
+    assert float(lp.apply(params, x, y)[0]) > 0
+
+
+def test_aggregate_msp_modes():
+    loss = jnp.asarray([[1.0, 2.0, 3.0]])
+    assert abs(float(aggregate_msp(loss, RewardConfig(msp_reward_aggregate="mean"))[0]) - 2.0) < 1e-6
+    assert abs(float(aggregate_msp(loss, RewardConfig(msp_reward_aggregate="last"))[0]) - 3.0) < 1e-6
+    d = RewardConfig(msp_reward_aggregate="discount", msp_reward_discount=0.5)
+    w = np.asarray([0.25, 0.5, 1.0])
+    expected = (np.asarray([1, 2, 3]) * w).sum() / w.sum()
+    np.testing.assert_allclose(float(aggregate_msp(loss, d)[0]), expected, rtol=1e-6)
+
+
+def test_msp_reward_end_to_end_tiny():
+    proc = ProcessorConfig(visual_token_num=4375, tokens_per_frame=16, action_dim=2)
+    rcfg = RewardConfig(num_frames=2)
+    tok = CompressiveVQModelFSQ(
+        block_out_channels=(8, 16), layers_per_block=1, latent_channels=4,
+        norm_num_groups=4, resolution=32, ctx_res=(16, 16), dyn_res=(4, 4),
+        max_att_resolution=16,
+    )
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(size=(2, 3, 32, 32, 3)), jnp.float32)
+    tok_params = tok.init(jax.random.key(0), px)
+    lp = LPIPS()
+    lp_params = lp.init(jax.random.key(1), px[:, 0] * 2 - 1, px[:, 0] * 2 - 1)
+
+    B, F = 2, 2
+    resp = jnp.asarray(rng.integers(0, 9000, (B, F * (16 + 2))), jnp.int32)
+    gt_resp = jnp.asarray(rng.integers(0, 9000, (B, F * (16 + 2))), jnp.int32)
+    ctx = jnp.asarray(rng.integers(4375, 8750, (B, 1, 256)), jnp.int32)
+
+    reward, metrics = msp_reward(
+        tok, tok_params, lp, lp_params, proc, rcfg, resp, ctx, gt_responses=gt_resp
+    )
+    assert reward.shape == resp.shape
+    r = np.asarray(reward)
+    assert (r[:, :-1] == 0).all() and (r[:, -1] < 0).all()  # -loss at last token
+    assert np.isfinite(float(metrics["critic/recon_loss/mean"]))
+    # identical rollouts -> zero recon loss and strictly higher (=0) reward
+    reward_same, m_same = msp_reward(
+        tok, tok_params, lp, lp_params, proc, rcfg, gt_resp, ctx, gt_responses=gt_resp
+    )
+    np.testing.assert_allclose(float(m_same["critic/recon_loss/mean"]), 0.0, atol=1e-6)
+    assert float(reward_same[:, -1].min()) > float(r[:, -1].max()) - 1e-6
+
+
+def test_ac_reward():
+    gt = jnp.zeros((2, 3, 2))
+    pred = jnp.ones((2, 3, 2)) * 0.5
+    r, m = ac_reward(gt, pred, "l1")
+    np.testing.assert_allclose(np.asarray(r), -0.5)
+    r2, _ = ac_reward(gt, pred, "mse")
+    np.testing.assert_allclose(np.asarray(r2), -0.25)
+    r3, _ = ac_reward(gt, pred, "huber", huber_delta=0.1)
+    np.testing.assert_allclose(np.asarray(r3), -(0.1 * (0.5 - 0.05)), rtol=1e-5)

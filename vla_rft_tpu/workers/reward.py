@@ -1,0 +1,142 @@
+"""Reward pipeline: detokenize WM responses and score against real frames.
+
+TPU-native port of the trainer-side reward functions + TokenizerWorker:
+* msp_reward (ray_trainer.py:1297-1402 msp_reward_fn +
+  fsdp_workers.py:1791-1839 detokenize): split WM responses into per-frame
+  visual tokens, FSQ-decode with the compressive tokenizer, per-frame
+  recon (mae/mse) + LPIPS, weighted sum, aggregate mean/last/discount,
+  scalar reward at the last response token.
+* ac_reward (ray_trainer.py:1404-1469): action-space l1/mse/huber reward.
+
+Everything runs inside one jit — the reference round-trips pixels through Ray
+to a GPU TokenizerWorker per phase.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vla_rft_tpu.models.lpips import LPIPS
+from vla_rft_tpu.models.tokenizers import CompressiveVQModelFSQ
+from vla_rft_tpu.workers.processor import ProcessorConfig, split_response_tokens
+
+
+@dataclasses.dataclass(frozen=True)
+class RewardConfig:
+    """trainer.reward_fn / loss_weight / msp_* (run_vla_rft.sh:12,23-25)."""
+
+    reward_fn: str = "mae"  # mae | mse
+    lpips_weight: float = 1.0
+    recon_weight: float = 1.0  # loss_weight[reward_fn]
+    msp_reward_aggregate: str = "mean"  # mean | last | discount
+    msp_reward_discount: float = 0.95
+    num_frames: int = 8
+
+
+def _recon_loss(real: jnp.ndarray, pred: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """(B, F, H, W, C) -> (B, F) (ray_trainer.py:1332-1337)."""
+    if kind == "mse":
+        return jnp.mean((real - pred) ** 2, axis=(2, 3, 4))
+    if kind == "mae":
+        return jnp.mean(jnp.abs(real - pred), axis=(2, 3, 4))
+    raise NotImplementedError(kind)
+
+
+def perceptual_loss_frames(
+    lpips: LPIPS, lpips_params, real: jnp.ndarray, pred: jnp.ndarray
+) -> jnp.ndarray:
+    """(B, F, H, W, C) in [0,1] -> (B, F). Inputs scaled to [-1,1]
+    (fsdp_workers.py:1735-1737)."""
+    B, F = real.shape[:2]
+    r = real.reshape(B * F, *real.shape[2:]) * 2.0 - 1.0
+    p = pred.reshape(B * F, *pred.shape[2:]) * 2.0 - 1.0
+    out = lpips.apply(lpips_params, r, p)
+    return out.reshape(B, F)
+
+
+def aggregate_msp(loss: jnp.ndarray, cfg: RewardConfig) -> jnp.ndarray:
+    """(B, F) per-frame loss -> (B,) (ray_trainer.py:1348-1357)."""
+    if cfg.msp_reward_aggregate == "mean":
+        return loss.mean(-1)
+    if cfg.msp_reward_aggregate == "last":
+        return loss[:, -1]
+    if cfg.msp_reward_aggregate == "discount":
+        F = loss.shape[1]
+        w = cfg.msp_reward_discount ** jnp.arange(F - 1, -1, -1, dtype=jnp.float32)
+        return (loss * w[None]).sum(-1) / w.sum()
+    raise NotImplementedError(cfg.msp_reward_aggregate)
+
+
+def msp_reward(
+    tokenizer: CompressiveVQModelFSQ,
+    tok_params,
+    lpips: LPIPS,
+    lpips_params,
+    proc_cfg: ProcessorConfig,
+    reward_cfg: RewardConfig,
+    responses: jnp.ndarray,  # (B, response_length) WM rollout output
+    ctx_tokens: jnp.ndarray,  # (B, 1, 1024) offset ctx tokens
+    real_frames: Optional[jnp.ndarray] = None,  # (B, F, H, W, C) in [0,1]
+    gt_responses: Optional[jnp.ndarray] = None,  # (B, response_length) gt branch
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Returns (reward_tensor (B, response_length), metrics).
+
+    Reward = -(recon*w + lpips*w) aggregated over frames, written at the last
+    response token (ray_trainer.py:1389-1398; responses have no padding in the
+    interact layout so the last valid token is the last position)."""
+    F = reward_cfg.num_frames
+    vis = split_response_tokens(proc_cfg, responses, F)  # (B, F, 64)
+    ctx_raw = ctx_tokens - proc_cfg.visual_token_num  # un-offset for the FSQ decoder
+    pred_all = tokenizer.apply(tok_params, ctx_raw, vis, method=tokenizer.detokenize)
+    pred = jnp.clip(pred_all[:, 1:], 0.0, 1.0)  # drop decoded ctx frame
+
+    if gt_responses is not None:
+        gt_vis = split_response_tokens(proc_cfg, gt_responses, F)
+        real_all = tokenizer.apply(tok_params, ctx_raw, gt_vis, method=tokenizer.detokenize)
+        real = jnp.clip(real_all[:, 1:], 0.0, 1.0)
+    else:
+        assert real_frames is not None
+        real = real_frames
+
+    recon = _recon_loss(real, pred, reward_cfg.reward_fn)  # (B, F)
+    perc = perceptual_loss_frames(lpips, lpips_params, real, pred)  # (B, F)
+    loss = aggregate_msp(
+        recon * reward_cfg.recon_weight + perc * reward_cfg.lpips_weight, reward_cfg
+    )  # (B,)
+
+    reward_tensor = jnp.zeros(responses.shape, jnp.float32)
+    reward_tensor = reward_tensor.at[:, -1].set(-loss)
+    metrics = {
+        "critic/recon_loss/mean": recon.mean(),
+        "critic/perceptual_loss/mean": perc.mean(),
+    }
+    return reward_tensor, metrics
+
+
+def ac_reward(
+    gt_actions: jnp.ndarray,  # (B, C, A)
+    predicted_actions: jnp.ndarray,  # (B, C, A)
+    reward_type: str = "l1",
+    huber_delta: float = 1.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Action-space reward (ray_trainer.py:1404-1469): element-wise negative
+    loss, shape (B, C*A)."""
+    B = gt_actions.shape[0]
+    diff = predicted_actions.reshape(B, -1).astype(jnp.float32) - gt_actions.reshape(
+        B, -1
+    ).astype(jnp.float32)
+    absd = jnp.abs(diff)
+    if reward_type == "l1":
+        loss = absd
+    elif reward_type == "mse":
+        loss = diff**2
+    elif reward_type == "huber":
+        loss = jnp.where(
+            absd <= huber_delta, 0.5 * diff**2, huber_delta * (absd - 0.5 * huber_delta)
+        )
+    else:
+        raise ValueError(reward_type)
+    return -loss, {f"critic/{reward_type}_loss/mean": loss.mean()}

@@ -1,0 +1,129 @@
+"""World-model interactive rollout: lax.scan decode with a static KV cache.
+
+TPU-native replacement for the reference's customized vLLM 0.6.3 engine +
+FSDP->vLLM weight-sync sharding manager
+(verl/workers/rollout/vllm_rollout/vllm_rollout.py:159-308,
+verl/workers/sharding_manager/fsdp_vllm.py:37-159,
+verl/third_party/vllm/vllm_v_0_6_3/*):
+
+* the "hybrid engine" disappears — the same pjit-sharded WM params serve
+  training logprob and generation, so `sync_model_weights` /
+  `offload_model_weights` have no equivalent to build;
+* the interact loop (vllm_rollout.py:231-242: per frame generate
+  interact_max_tokens=64 visual tokens, then append the policy's 7 action
+  tokens, x (segment_length-1) frames) becomes one compiled program:
+  prefill(1095) -> outer scan over frames -> inner scan over 64 sampled
+  tokens -> 7-token teacher-forced chunk;
+* per-batch PRNG replaces the per-TP-rank RNG swap (fsdp_vllm.py:64-73) —
+  one key, folded per step, identical across shards by construction.
+
+The optional gt-action branch (w_gt_ac, vllm_rollout.py:216-230) reruns the
+same loop with ground-truth action tokens and an independent key.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vla_rft_tpu.models.transformer import Decoder
+from vla_rft_tpu.ops.sampling import sample_token
+
+
+@dataclasses.dataclass(frozen=True)
+class WMRolloutConfig:
+    """Mirrors world_model_rollout.rollout (vla_rft_grpo_trainer.yaml:206-245)."""
+
+    prompt_length: int = 1095
+    response_length: int = 568
+    num_frames: int = 8  # segment_length - 1
+    interact_max_tokens: int = 64  # visual tokens per frame
+    action_dim: int = 7
+    temperature: float = 1.0
+    top_k: int = -1
+    top_p: float = 0.8
+    do_sample: bool = True
+
+    @property
+    def tokens_per_frame(self) -> int:
+        return self.interact_max_tokens + self.action_dim
+
+    @property
+    def total_length(self) -> int:
+        return self.prompt_length + self.response_length
+
+
+def generate_sequences(
+    wm: Decoder,
+    wm_params,
+    rng: jax.Array,
+    input_ids: jnp.ndarray,  # (B, prompt_length) — no padding (fixed layout)
+    action_ids: jnp.ndarray,  # (B, T, action_dim) offset action tokens
+    cfg: WMRolloutConfig,
+) -> jnp.ndarray:
+    """Returns response tokens (B, response_length): per frame
+    [64 sampled visual tokens | 7 teacher-forced action tokens]."""
+    B, P = input_ids.shape
+    F = cfg.num_frames
+    V = cfg.interact_max_tokens
+    A = cfg.action_dim
+    max_len = cfg.total_length
+
+    cache = wm.init_cache(B, max_len)
+    # ---- prefill the prompt ----
+    logits, _, cache = wm.apply(wm_params, input_ids, cache=cache, cache_index=0)
+    last_logits = logits[:, -1]  # (B, vocab)
+
+    def frame_step(carry, f):
+        cache, last_logits, key = carry
+        base = P + f * (V + A)  # traced start index of this frame's tokens
+
+        def tok_step(c, i):
+            cache, last_logits, key = c
+            key, sub = jax.random.split(key)
+            tok = sample_token(
+                sub, last_logits, cfg.temperature, cfg.top_k, cfg.top_p, cfg.do_sample
+            )  # (B,)
+            step_logits, _, cache = wm.apply(
+                wm_params, tok[:, None], cache=cache, cache_index=base + i
+            )
+            return (cache, step_logits[:, 0], key), tok
+
+        (cache, last_logits, key), vis_toks = jax.lax.scan(
+            tok_step, (cache, last_logits, key), jnp.arange(V)
+        )  # vis_toks: (V, B)
+
+        # teacher-force the policy's action tokens for frame f+1
+        act = jax.lax.dynamic_index_in_dim(action_ids, f + 1, axis=1, keepdims=False)
+        act_logits, _, cache = wm.apply(
+            wm_params, act, cache=cache, cache_index=base + V
+        )
+        last_logits = act_logits[:, -1]
+        frame_tokens = jnp.concatenate([vis_toks.T, act], axis=1)  # (B, V+A)
+        return (cache, last_logits, key), frame_tokens
+
+    (_, _, _), frames = jax.lax.scan(
+        frame_step, (cache, last_logits, rng), jnp.arange(F)
+    )  # frames: (F, B, V+A)
+    response = jnp.moveaxis(frames, 0, 1).reshape(B, F * (V + A))
+    return response.astype(jnp.int32)
+
+
+def compute_log_prob(
+    wm: Decoder,
+    wm_params,
+    input_ids: jnp.ndarray,  # (B, total_length) prompt+response
+    response_length: int,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Teacher-forced WM logprob over the response region
+    (verl/workers/world_model/dp_world_model.py:47-133: temperature-scaled
+    logits, next-token gather)."""
+    from vla_rft_tpu.ops.masked import logprobs_from_logits
+
+    logits, _, _ = wm.apply(wm_params, input_ids)
+    resp = input_ids[:, -response_length:]
+    pred_logits = logits[:, -response_length - 1 : -1] / temperature
+    return logprobs_from_logits(pred_logits, resp)
