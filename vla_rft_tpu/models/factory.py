@@ -1,0 +1,200 @@
+"""Model factory: build the full VLA-RFT model bundle from a Config.
+
+Presets:
+* 'libero' — the real run shapes: OpenVLA (SigLIP-so400m + DINOv2-L +
+  Qwen2.5-0.5B), action expert (DiT d8/h512), WM LLaMA 24L/1024h vocab 9008,
+  CompressiveVQModelFSQ at 256px, VGG16 LPIPS.
+* 'tiny' — same topology at test sizes (CPU-friendly).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vla_rft_tpu.models.action_head import ActionExpert, ActionHeadConfig
+from vla_rft_tpu.models.lpips import LPIPS
+from vla_rft_tpu.models.prismatic import OpenVLA, OpenVLAConfig
+from vla_rft_tpu.models.tokenizers import CompressiveVQModelFSQ
+from vla_rft_tpu.models.transformer import Decoder, TransformerConfig
+from vla_rft_tpu.models.vit import ViTConfig
+from vla_rft_tpu.workers.processor import ProcessorConfig
+from vla_rft_tpu.workers.reward import RewardConfig
+from vla_rft_tpu.workers.wm_rollout import WMRolloutConfig
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    vla: OpenVLA
+    expert: ActionExpert
+    wm: Decoder
+    tokenizer: CompressiveVQModelFSQ
+    lpips: LPIPS
+    vla_cfg: OpenVLAConfig
+    expert_cfg: ActionHeadConfig
+    wm_cfg: TransformerConfig
+    proc_cfg: ProcessorConfig
+    wm_roll_cfg: WMRolloutConfig
+    reward_cfg: RewardConfig
+    # data shapes
+    policy_seq_len: int = 96
+    policy_image_size: int = 224
+    wm_image_size: int = 256
+    num_raw_frames: int = 9  # data.video.segment_length
+
+
+def build_models(config, preset: str = "libero") -> ModelBundle:
+    proc = config.processor
+    roll = config.world_model_rollout.rollout
+    trainer = config.trainer
+
+    proc_cfg = ProcessorConfig(
+        visual_token_num=proc.visual_token_num,
+        action_bins=proc.action_bins,
+        action_dim=proc.action_dim,
+        tokens_per_frame=proc.tokens_per_frame,
+        bos_token_id=proc.bos_token_id,
+        eos_token_id=proc.eos_token_id,
+        pad_token_id=proc.pad_token_id,
+        processor_type=proc.processor_type,
+    )
+    segment_length = config.data.video.segment_length
+    wm_roll_cfg = WMRolloutConfig(
+        prompt_length=config.data.max_prompt_length,
+        response_length=config.data.max_response_length,
+        num_frames=segment_length - 1,
+        interact_max_tokens=roll.interact_max_tokens,
+        action_dim=proc.action_dim,
+        temperature=roll.val_kwargs.temperature if roll.is_validate else roll.temperature,
+        top_k=roll.val_kwargs.top_k if roll.is_validate else roll.top_k,
+        top_p=roll.val_kwargs.top_p if roll.is_validate else roll.top_p,
+        do_sample=roll.do_sample,
+    )
+    loss_w = trainer.loss_weight
+    reward_cfg = RewardConfig(
+        reward_fn=trainer.reward_fn,
+        lpips_weight=loss_w.lpips,
+        recon_weight=loss_w.get(trainer.reward_fn, 1.0),
+        msp_reward_aggregate=trainer.msp_reward_aggregate,
+        msp_reward_discount=trainer.msp_reward_discount,
+        num_frames=segment_length - 1,
+    )
+
+    if preset == "tiny":
+        vla_cfg = OpenVLAConfig.tiny_test()
+        expert_cfg = ActionHeadConfig(
+            llm_dim=vla_cfg.llm.hidden_size, dit_hidden=32, dit_depth=2, dit_heads=4,
+            action_dim=proc.action_dim, dtype=jnp.float32,
+            # invariant: the action chunk length equals the number of
+            # predicted future frames (LIBERO: 8 = segment_length 9 - 1)
+            num_actions_chunk=segment_length - 1,
+        )
+        wm_cfg = TransformerConfig(
+            vocab_size=config.actor_rollout_ref.actor.vocab_size,
+            hidden_size=64, intermediate_size=128, num_layers=2, num_heads=4,
+            num_kv_heads=4, dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla",
+        )
+        tokenizer = CompressiveVQModelFSQ(
+            block_out_channels=(8, 16, 16), layers_per_block=1, latent_channels=4,
+            norm_num_groups=4, resolution=32, ctx_res=(8, 8), dyn_res=(2, 2),
+            max_att_resolution=8,
+        )
+        lpips = LPIPS()
+        return ModelBundle(
+            vla=OpenVLA(vla_cfg),
+            expert=ActionExpert(expert_cfg),
+            wm=Decoder(wm_cfg),
+            tokenizer=tokenizer,
+            lpips=lpips,
+            vla_cfg=vla_cfg,
+            expert_cfg=expert_cfg,
+            wm_cfg=wm_cfg,
+            proc_cfg=proc_cfg,
+            wm_roll_cfg=wm_roll_cfg,
+            reward_cfg=reward_cfg,
+            policy_seq_len=32,
+            policy_image_size=vla_cfg.siglip.image_size,
+            wm_image_size=32,
+            num_raw_frames=segment_length,
+        )
+
+    # ----- libero (real) sizes -----
+    vla_cfg = OpenVLAConfig()
+    expert_cfg = ActionHeadConfig(
+        llm_dim=vla_cfg.llm.hidden_size,
+        action_dim=proc.action_dim,
+        num_flow_steps=config.actor_rollout_ref.rollout.get("num_flow_steps", 10),
+    )
+    wm_cfg = TransformerConfig.wm_llama(
+        vocab_size=config.world_model_rollout.world_model.vocab_size
+    )
+    tokenizer = CompressiveVQModelFSQ()
+    lpips = LPIPS()
+    return ModelBundle(
+        vla=OpenVLA(vla_cfg),
+        expert=ActionExpert(expert_cfg),
+        wm=Decoder(wm_cfg),
+        tokenizer=tokenizer,
+        lpips=lpips,
+        vla_cfg=vla_cfg,
+        expert_cfg=expert_cfg,
+        wm_cfg=wm_cfg,
+        proc_cfg=proc_cfg,
+        wm_roll_cfg=wm_roll_cfg,
+        reward_cfg=reward_cfg,
+        policy_seq_len=96,
+        policy_image_size=224,
+        wm_image_size=256,
+        num_raw_frames=segment_length,
+    )
+
+
+def init_params(bundle: ModelBundle, rng: jax.Array) -> Dict[str, Any]:
+    """Random-init every param tree with the right shapes (checkpoint loading
+    replaces these via tools/convert_weights.py when paths are configured)."""
+    ks = jax.random.split(rng, 5)
+    B = 1
+    S = bundle.policy_seq_len
+    img = bundle.policy_image_size
+    vcfg = bundle.vla_cfg
+
+    from vla_rft_tpu.models.action_masks import ACTION_TOKEN_BEGIN_IDX
+
+    labels = np.full((B, S), -100, np.int64)
+    labels[:, 3 : 3 + vcfg.num_tokens] = ACTION_TOKEN_BEGIN_IDX + 1
+    dummy = {
+        "input_ids": jnp.asarray(labels.clip(0), jnp.int32),
+        "labels": jnp.asarray(labels, jnp.int32),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "pixels": jnp.zeros((B, img, img, 6), jnp.float32),
+    }
+    vla_params = bundle.vla.init(
+        ks[0], dummy["input_ids"], dummy["pixels"], dummy["labels"], dummy["attention_mask"]
+    )
+    hidden = jnp.zeros(
+        (B, vcfg.num_patches + vcfg.num_tokens, vcfg.llm.hidden_size), jnp.float32
+    )
+    ecfg = bundle.expert_cfg
+    expert_params = bundle.expert.init(
+        ks[1],
+        hidden,
+        jnp.zeros((B, ecfg.num_actions_chunk, ecfg.action_dim)),
+        jnp.zeros((B,)),
+        jnp.zeros((B, vcfg.proprio_dim)),
+    )
+    wm_params = bundle.wm.init(ks[2], jnp.zeros((B, 8), jnp.int32))
+    T = bundle.num_raw_frames + 1
+    px = jnp.zeros((B, T, bundle.wm_image_size, bundle.wm_image_size, 3), jnp.float32)
+    tok_params = bundle.tokenizer.init(ks[3], px)
+    im = jnp.zeros((B, bundle.wm_image_size, bundle.wm_image_size, 3), jnp.float32)
+    lpips_params = bundle.lpips.init(ks[4], im, im)
+    return {
+        "vla": vla_params,
+        "expert": expert_params,
+        "wm": wm_params,
+        "tokenizer": tok_params,
+        "lpips": lpips_params,
+    }
