@@ -135,7 +135,14 @@ class Attention(nn.Module):
     cfg: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, positions, kv_lens, cache=None, cache_index=None, causal=True):
+    def __call__(
+        self, x, positions, kv_lens, cache=None, cache_index=None, causal=True,
+        layer_idx=None,
+    ):
+        """cache: FULL stacked (ck, cv) of shape (L, B, S, nkv, hd), updated
+        in place at `layer_idx` via dynamic_update_slice so lax.scan keeps one
+        buffer alive across the decode loop (a per-layer ys-stacked cache
+        would copy the whole multi-GB cache every token)."""
         cfg = self.cfg
         hd, nh, nkv = cfg.hd, cfg.num_heads, cfg.num_kv_heads
         dense = lambda feats, name, bias: nn.DenseGeneral(
@@ -151,15 +158,22 @@ class Attention(nn.Module):
 
         new_cache = None
         if cache is not None:
-            ck, cv = cache  # (B, L, nkv, hd)
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+            ck, cv = cache  # (L, B, S, nkv, hd)
+            li = jnp.asarray(layer_idx, jnp.int32)
+            idx = jnp.asarray(cache_index, jnp.int32)
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype)[None], (li, 0, idx, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype)[None], (li, 0, idx, 0, 0)
+            )
             new_cache = (ck, cv)
-            kv = (ck, cv)
+            k_all = jax.lax.dynamic_index_in_dim(ck, li, axis=0, keepdims=False)
+            v_all = jax.lax.dynamic_index_in_dim(cv, li, axis=0, keepdims=False)
             kv_lens_eff = jnp.minimum(kv_lens, cache_index + S)
-            q_offset = jnp.full((B,), cache_index, jnp.int32) if S > 0 else None
+            q_offset = jnp.full((B,), cache_index, jnp.int32)
             out = attention(
-                q, kv[0], kv[1], causal=causal, kv_lens=kv_lens_eff,
+                q, k_all, v_all, causal=causal, kv_lens=kv_lens_eff,
                 q_offset=q_offset, impl="xla" if S < 32 else cfg.attn_impl,
             )
         else:
@@ -189,11 +203,14 @@ class DecoderLayer(nn.Module):
     cfg: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, positions, kv_lens, cache=None, cache_index=None, causal=True):
+    def __call__(
+        self, x, positions, kv_lens, cache=None, cache_index=None, causal=True,
+        layer_idx=None,
+    ):
         cfg = self.cfg
         h, new_cache = Attention(cfg, name="self_attn")(
             RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="input_layernorm")(x),
-            positions, kv_lens, cache, cache_index, causal,
+            positions, kv_lens, cache, cache_index, causal, layer_idx,
         )
         x = x + h
         x = x + MLP(cfg, name="mlp")(
@@ -225,6 +242,7 @@ class Decoder(nn.Module):
         causal: bool = True,
         compute_logits: bool = True,
         embed_only: bool = False,
+        logits_last_only: bool = False,
     ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[Dict]]:
         cfg = self.cfg
         embed = nn.Embed(
@@ -254,10 +272,13 @@ class Decoder(nn.Module):
         if cfg.remat:
             layer_cls = nn.remat(DecoderLayer, static_argnums=(6,))
 
-        def body(mdl, carry, layer_cache):
-            h, pos = carry
-            h, new_cache = mdl(h, pos, kv_lens, layer_cache, cache_index, causal)
-            return (h, pos), new_cache
+        # The full stacked KV cache rides the layer-scan CARRY and is updated
+        # in place per layer — not emitted as stacked ys, which would allocate
+        # and copy the entire cache every call (fatal in decode loops).
+        def body(mdl, carry, _):
+            h, pos, layer_cache, li = carry
+            h, new_cache = mdl(h, pos, kv_lens, layer_cache, cache_index, causal, li)
+            return (h, pos, new_cache, li + 1), None
 
         scan = nn.scan(
             body,
@@ -268,21 +289,26 @@ class Decoder(nn.Module):
             length=cfg.num_layers,
             metadata_params={nn.meta.PARTITION_NAME: None},
         )
-        carry, new_layer_caches = scan(
-            layer_cls(cfg, name="layers"), (x, positions), cache
+        carry, _ = scan(
+            layer_cls(cfg, name="layers"),
+            (x, positions, cache, jnp.asarray(0, jnp.int32)),
+            None,
         )
-        x, _ = carry
+        x, _, new_layer_caches, _ = carry
         x = RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="norm")(x)
 
         logits = None
         if compute_logits:
+            # prefill only needs the next-token logits: slice before the
+            # O(S*V) matmul (saves ~1.3GB fp32 at WM prompt shapes)
+            xl = x[:, -1:] if logits_last_only else x
             if cfg.tie_word_embeddings:
-                logits = embed.attend(x.astype(cfg.dtype))
+                logits = embed.attend(xl.astype(cfg.dtype))
             else:
                 logits = nn.Dense(
                     cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype, name="lm_head",
-                )(x)
+                )(xl)
             logits = logits.astype(jnp.float32)
         return logits, x, new_layer_caches
 

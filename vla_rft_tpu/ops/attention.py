@@ -72,7 +72,7 @@ def _fwd_kernel(
     k_ref,  # VMEM (1, 1, Sk, D)
     v_ref,  # VMEM (1, 1, Sk, D)
     o_ref,  # VMEM (1, 1, bq, D)
-    lse_ref,  # VMEM (1, 1, bq)
+    lse_ref,  # VMEM (1, 1, bq, 1) — trailing lane dim for TPU tiling
     *,
     scale: float,
     causal: bool,
@@ -80,12 +80,13 @@ def _fwd_kernel(
     sk: int,
     block_q: int,
 ):
+    bi = pl.program_id(0)
     qi = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, D)
-    kv_len = kv_lens_ref[0]
+    kv_len = kv_lens_ref[bi]
     q_pos = (
         qi * block_q
-        + q_off_ref[0]
+        + q_off_ref[bi]
         + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
     )  # (bq, 1) absolute positions
 
@@ -120,7 +121,7 @@ def _fwd_kernel(
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
-    lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+    lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))[:, None]
 
 
 # ============================================================ Pallas dq kernel
@@ -131,8 +132,8 @@ def _dq_kernel(
     k_ref,  # (1,1,Sk,D)
     v_ref,  # (1,1,Sk,D)
     do_ref,  # (1,1,bq,D)
-    lse_ref,  # (1,1,bq)
-    delta_ref,  # (1,1,bq)
+    lse_ref,  # (1,1,bq,1)
+    delta_ref,  # (1,1,bq,1)
     dq_ref,  # out (1,1,bq,D)
     *,
     scale: float,
@@ -141,15 +142,16 @@ def _dq_kernel(
     sk: int,
     block_q: int,
 ):
+    bi = pl.program_id(0)
     qi = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0][:, None]
-    delta = delta_ref[0, 0][:, None]
-    kv_len = kv_lens_ref[0]
+    lse = lse_ref[0, 0]  # (bq, 1)
+    delta = delta_ref[0, 0]  # (bq, 1)
+    kv_len = kv_lens_ref[bi]
     q_pos = (
         qi * block_q
-        + q_off_ref[0]
+        + q_off_ref[bi]
         + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
     )
     nkb = sk // block_k
@@ -190,8 +192,8 @@ def _dkv_kernel(
     k_ref,  # (1,1,bk,D)
     v_ref,  # (1,1,bk,D)
     do_ref,  # (1,1,G,Sq,D)
-    lse_ref,  # (1,1,G,Sq)
-    delta_ref,  # (1,1,G,Sq)
+    lse_ref,  # (1,1,G,Sq,1)
+    delta_ref,  # (1,1,G,Sq,1)
     dk_ref,  # out (1,1,bk,D)
     dv_ref,  # out (1,1,bk,D)
     *,
@@ -202,10 +204,11 @@ def _dkv_kernel(
     block_k: int,
     group: int,
 ):
+    bi = pl.program_id(0)
     kj = pl.program_id(2)
     k_blk = k_ref[0, 0].astype(jnp.float32)  # (bk, D)
     v_blk = v_ref[0, 0].astype(jnp.float32)
-    kv_len = kv_lens_ref[0]
+    kv_len = kv_lens_ref[bi]
     kv_pos = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
     nqb = sq // block_q
 
@@ -220,11 +223,11 @@ def _dkv_kernel(
             dk, dv = carry
             q_blk = q_ref[0, 0, g, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
             do_blk = do_ref[0, 0, g, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-            lse = lse_ref[0, 0, g, pl.ds(i * block_q, block_q)][:, None]
-            delta = delta_ref[0, 0, g, pl.ds(i * block_q, block_q)][:, None]
+            lse = lse_ref[0, 0, g, pl.ds(i * block_q, block_q), :]  # (bq, 1)
+            delta = delta_ref[0, 0, g, pl.ds(i * block_q, block_q), :]
             q_pos = (
                 i * block_q
-                + q_off_ref[0]
+                + q_off_ref[bi]
                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
             )
             s = (
@@ -313,8 +316,8 @@ def _flash_fwd_impl(q, k, v, kv_lens, q_offset, causal, scale, block_q, block_k,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda b, h, i: (b,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b, h, i: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, 1, block_q, D), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM
             ),
@@ -334,12 +337,12 @@ def _flash_fwd_impl(q, k, v, kv_lens, q_offset, causal, scale, block_q, block_k,
                 (1, 1, block_q, D), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, block_q), lambda b, h, i: (b, h, i), memory_space=pltpu.VMEM
+                (1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Hq, sq_p, D), q.dtype),
-            jax.ShapeDtypeStruct((B, Hq, sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, sq_p, 1), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -370,6 +373,7 @@ def _flash_bwd_vjp(causal, scale, block_q, block_k, interpret, res, g):
 
     dot = _pad_to(jnp.swapaxes(g, 1, 2), sq_p, 2)  # (B, Hq, Sq', D)
     delta = jnp.sum(dot.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = delta[..., None]  # (B, Hq, Sq', 1) — lane dim for TPU tiling
 
     kv_lens_i = kv_lens.astype(jnp.int32)
     q_off_i = q_offset.astype(jnp.int32)
@@ -382,14 +386,14 @@ def _flash_bwd_vjp(causal, scale, block_q, block_k, interpret, res, g):
         dq_kernel,
         grid=(B, Hq, sq_p // block_q),
         in_specs=[
-            pl.BlockSpec((1,), lambda b, h, i: (b,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b, h, i: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sk_p, D), lambda b, h, i: (b, h // group, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sk_p, D), lambda b, h, i: (b, h // group, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, D), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM
@@ -401,8 +405,8 @@ def _flash_bwd_vjp(causal, scale, block_q, block_k, interpret, res, g):
     # ---- dk, dv ----
     q5 = qt.reshape(B, Hkv, group, sq_p, D)
     do5 = dot.reshape(B, Hkv, group, sq_p, D)
-    lse5 = lse.reshape(B, Hkv, group, sq_p)
-    delta5 = delta.reshape(B, Hkv, group, sq_p)
+    lse5 = lse.reshape(B, Hkv, group, sq_p, 1)
+    delta5 = delta.reshape(B, Hkv, group, sq_p, 1)
 
     dkv_kernel = functools.partial(
         _dkv_kernel,
@@ -417,14 +421,14 @@ def _flash_bwd_vjp(causal, scale, block_q, block_k, interpret, res, g):
         dkv_kernel,
         grid=(B, Hkv, sk_p // block_k),
         in_specs=[
-            pl.BlockSpec((1,), lambda b, h, j: (b,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b, h, j: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, group, sq_p, D), lambda b, h, j: (b, h, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, group, sq_p, D), lambda b, h, j: (b, h, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, group, sq_p), lambda b, h, j: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, group, sq_p), lambda b, h, j: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, group, sq_p, 1), lambda b, h, j: (b, h, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, group, sq_p, 1), lambda b, h, j: (b, h, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0), memory_space=pltpu.VMEM),

@@ -72,8 +72,10 @@ def generate_sequences(
     max_len = cfg.total_length
 
     cache = wm.init_cache(B, max_len)
-    # ---- prefill the prompt ----
-    logits, _, cache = wm.apply(wm_params, input_ids, cache=cache, cache_index=0)
+    # ---- prefill the prompt (logits only at the last position) ----
+    logits, _, cache = wm.apply(
+        wm_params, input_ids, cache=cache, cache_index=0, logits_last_only=True
+    )
     last_logits = logits[:, -1]  # (B, vocab)
 
     def frame_step(carry, f):
