@@ -1,0 +1,96 @@
+"""Benchmark: one full VLA-RFT training step at real LIBERO shapes on the
+local TPU chip(s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Primary metric: RFT frames/sec/chip — predicted world-model frames per second
+of end-to-end RFT step time (rollout + logp + tokenize + WM decode + reward +
+GRPO + PPO update), normalized per chip.  This is the BASELINE.json north
+star ("rollout frames/sec/chip + RFT step time").
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). We
+estimate the A100 reference at 17 frames/s/chip from its run shape — 4xA100,
+256 seqs x 8 frames/step, vLLM 0.6.3 interact mode that re-prefills the whole
+prompt every frame (vllm_rollout.py:231-242; ~1.2s/frame/GPU decode+prefill
+plus policy rollout/update overhead → ~30s/step). vs_baseline uses that
+documented estimate; judge against BENCH_r*.json over rounds for trend.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_FRAMES_PER_SEC_PER_CHIP = 17.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vla_rft_tpu.config import vla_rft_default_config
+    from vla_rft_tpu.parallel.mesh import MeshConfig, make_mesh
+    from vla_rft_tpu.trainer.grpo_trainer import VLARFTGRPOTrainer
+
+    n_devices = len(jax.devices())
+    c = vla_rft_default_config()
+    # per-chip slice of the reference run: 4 GPUs x (bs 16 x n 16) = 64 seqs/GPU.
+    # One v5e chip: B=2 unique x n=16 = 32 sequences (HBM-bound by the WM KV
+    # cache; the reference's A100s have 40/80GB).
+    c.data.train_batch_size = 2 * n_devices
+    c.actor_rollout_ref.rollout.n = 16
+    c.actor_rollout_ref.actor.ppo_mini_batch_size = 16
+    c.actor_rollout_ref.actor.ppo_micro_batch_size_per_gpu = 8
+    c.actor_rollout_ref.rollout.log_prob_micro_batch_size_per_gpu = 16
+    c.trainer.total_training_steps = 400
+    c.trainer.logger = []
+    c.mesh = {"dp": n_devices, "fsdp": 1, "tp": 1, "sp": 1}
+
+    mesh = make_mesh(MeshConfig(dp=n_devices))
+    trainer = VLARFTGRPOTrainer(c, preset="libero", mesh=mesh)
+
+    batch = trainer.dataset.next_batch()
+    rng = jax.random.key(0)
+
+    # warmup / compile
+    t0 = time.time()
+    trainer.training_step(batch, rng)
+    compile_s = time.time() - t0
+
+    times = []
+    metrics = {}
+    for i in range(2):
+        batch = trainer.dataset.next_batch()
+        t0 = time.time()
+        metrics = trainer.training_step(batch, jax.random.fold_in(rng, i))
+        times.append(time.time() - t0)
+    step_s = float(np.min(times))
+
+    n_seqs = c.data.train_batch_size * c.actor_rollout_ref.rollout.n
+    frames = n_seqs * 8
+    fps_chip = frames / step_s / n_devices
+
+    out = {
+        "metric": "rft_frames_per_sec_per_chip",
+        "value": round(fps_chip, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps_chip / A100_BASELINE_FRAMES_PER_SEC_PER_CHIP, 3),
+        "extra": {
+            "step_time_s": round(step_s, 2),
+            "compile_time_s": round(compile_s, 1),
+            "sequences_per_step": n_seqs,
+            "n_devices": n_devices,
+            "timing_s": {
+                k.split("/")[-1]: round(float(v), 2)
+                for k, v in metrics.items()
+                if k.startswith("timing_s/")
+            },
+            "baseline_note": "A100 estimate 17 frames/s/chip (see module docstring)",
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
