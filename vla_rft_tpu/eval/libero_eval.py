@@ -1,0 +1,185 @@
+"""LIBERO evaluation harness.
+
+Port of experiments/robot/libero/run_libero_eval.py: draccus-style config
+(GenerateConfig :82-132), per-suite episode budgets (:64-70), the episode
+loop with the 8-action open-loop queue (:281-366 `deque(maxlen=8)`), and
+get_vla_action (openvla_utils.py:746-840).
+
+MuJoCo/LIBERO stays host-side CPU exactly as in the reference (SURVEY §2.8);
+the policy is served from a persistent jitted predict_action.  The env is
+pluggable: `make_libero_env` imports LIBERO lazily; tests use `ScriptedEnv`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+# run_libero_eval.py:64-70
+TASK_MAX_STEPS = {
+    "libero_spatial": 220,
+    "libero_object": 280,
+    "libero_goal": 300,
+    "libero_10": 520,
+    "libero_90": 400,
+}
+
+
+@dataclasses.dataclass
+class GenerateConfig:
+    """Mirrors run_libero_eval.GenerateConfig (:82-132)."""
+
+    task_suite_name: str = "libero_spatial"
+    num_trials_per_task: int = 50
+    num_steps_wait: int = 10  # wait for objects to settle
+    num_open_loop_steps: int = 8
+    resize_size: int = 224
+    seed: int = 7
+    unnorm_key: Optional[str] = None
+
+
+def resize_image_for_policy(img: np.ndarray, size: int) -> np.ndarray:
+    """Nearest-neighbor resize to (size, size) without external deps
+    (openvla_utils resize uses tf/PIL; policy towers re-normalize anyway)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(size) * h // size).clip(0, h - 1)
+    xs = (np.arange(size) * w // size).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def quat2axisangle(quat: np.ndarray) -> np.ndarray:
+    """libero_utils.quat2axisangle (xyzw convention)."""
+    q = np.asarray(quat, np.float64)
+    w = np.clip(q[3], -1.0, 1.0)
+    den = np.sqrt(1.0 - w * w)
+    if den < 1e-8:
+        return np.zeros(3)
+    return (q[:3] * 2.0 * np.arccos(w)) / den
+
+
+class ScriptedEnv:
+    """Deterministic fake env for harness tests (the reference's analog is
+    the digit-completion env, tests/e2e/envs/digit_completion)."""
+
+    def __init__(self, horizon: int = 32, succeed_at: Optional[int] = 20, image_size: int = 64):
+        self.horizon = horizon
+        self.succeed_at = succeed_at
+        self.image_size = image_size
+        self.t = 0
+
+    def reset(self):
+        self.t = 0
+        return self._obs()
+
+    def set_init_state(self, state):
+        return self._obs()
+
+    def _obs(self):
+        img = np.full((self.image_size, self.image_size, 3), self.t % 255, np.uint8)
+        return {
+            "agentview_image": img,
+            "robot0_eef_pos": np.zeros(3),
+            "robot0_eef_quat": np.array([0, 0, 0, 1.0]),
+            "robot0_gripper_qpos": np.zeros(2),
+        }
+
+    def step(self, action):
+        self.t += 1
+        done = self.succeed_at is not None and self.t >= self.succeed_at
+        return self._obs(), float(done), done, {}
+
+
+def make_libero_env(task_suite_name: str, task_id: int, resolution: int = 256):
+    """libero_utils.get_libero_env — imports LIBERO lazily (CPU MuJoCo)."""
+    from libero.libero import benchmark  # noqa: deferred heavy import
+
+    suite = benchmark.get_benchmark_dict()[task_suite_name]()
+    task = suite.get_task(task_id)
+    from libero.libero.envs import OffScreenRenderEnv
+
+    env = OffScreenRenderEnv(
+        bddl_file_name=suite.get_task_bddl_file_path(task_id),
+        camera_heights=resolution,
+        camera_widths=resolution,
+    )
+    init_states = suite.get_task_init_states(task_id)
+    return env, task.language, init_states
+
+
+def prepare_observation(obs: Dict[str, Any], resize_size: int) -> Dict[str, np.ndarray]:
+    """run_libero_eval.prepare_observation (:328): flip the rendered image and
+    assemble proprio = [eef_pos, axis-angle, gripper]."""
+    img = obs["agentview_image"][::-1, ::-1]  # LIBERO renders upside down
+    img = resize_image_for_policy(img, resize_size)
+    proprio = np.concatenate(
+        [
+            obs["robot0_eef_pos"],
+            quat2axisangle(obs["robot0_eef_quat"]),
+            obs["robot0_gripper_qpos"],
+        ]
+    )
+    return {"full_image": img, "proprio": proprio}
+
+
+def run_episode(
+    env,
+    get_action_chunk: Callable[[Dict[str, np.ndarray]], np.ndarray],
+    cfg: GenerateConfig,
+    max_steps: int,
+    initial_state=None,
+) -> bool:
+    """Episode loop with the open-loop action queue
+    (run_libero_eval.py:281-366)."""
+    env.reset()
+    if initial_state is not None:
+        obs = env.set_init_state(initial_state)
+    else:
+        obs = env.reset()
+
+    action_queue: deque = deque(maxlen=cfg.num_open_loop_steps)
+    t = 0
+    dummy = np.zeros(7)
+    dummy[-1] = -1  # gripper open no-op while settling
+    while t < max_steps + cfg.num_steps_wait:
+        if t < cfg.num_steps_wait:
+            obs, reward, done, info = env.step(dummy.tolist())
+            t += 1
+            continue
+        observation = prepare_observation(obs, cfg.resize_size)
+        if len(action_queue) == 0:
+            chunk = get_action_chunk(observation)  # (num_open_loop_steps, 7)
+            action_queue.extend(chunk)
+        action = action_queue.popleft()
+        obs, reward, done, info = env.step(np.asarray(action).tolist())
+        if done:
+            return True
+        t += 1
+    return False
+
+
+def run_suite_eval(
+    cfg: GenerateConfig,
+    get_action_chunk: Callable[[Dict[str, np.ndarray]], np.ndarray],
+    env_factory: Callable[[int], Tuple[Any, str, Any]],
+    num_tasks: int,
+) -> Dict[str, float]:
+    """run_libero_eval.main loop: 50 trials/task, suite-level success rate."""
+    max_steps = TASK_MAX_STEPS.get(cfg.task_suite_name, 300)
+    total, success = 0, 0
+    per_task: Dict[int, float] = {}
+    for task_id in range(num_tasks):
+        env, lang, init_states = env_factory(task_id)
+        task_success = 0
+        for ep in range(cfg.num_trials_per_task):
+            init = init_states[ep % len(init_states)] if init_states is not None else None
+            ok = run_episode(env, get_action_chunk, cfg, max_steps, init)
+            task_success += int(ok)
+            total += 1
+            success += int(ok)
+        per_task[task_id] = task_success / cfg.num_trials_per_task
+    return {
+        "success_rate": success / max(total, 1),
+        **{f"task_{k}/success": v for k, v in per_task.items()},
+    }
