@@ -154,7 +154,19 @@ def build_models(config, preset: str = "libero") -> ModelBundle:
 
 def init_params(bundle: ModelBundle, rng: jax.Array) -> Dict[str, Any]:
     """Random-init every param tree with the right shapes (checkpoint loading
-    replaces these via tools/convert_weights.py when paths are configured)."""
+    replaces these via tools/convert_weights.py when paths are configured).
+
+    Runs on CPU: compiling the full-model init programs on TPU costs ~10
+    minutes of remote compile for zero benefit; the trainer shards the
+    resulting trees onto the mesh afterwards."""
+    cpus = jax.devices("cpu")
+    if cpus:
+        with jax.default_device(cpus[0]):
+            return _init_params_impl(bundle, rng)
+    return _init_params_impl(bundle, rng)
+
+
+def _init_params_impl(bundle: ModelBundle, rng: jax.Array) -> Dict[str, Any]:
     ks = jax.random.split(rng, 5)
     B = 1
     S = bundle.policy_seq_len
