@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional
 
+import jax
 import numpy as np
 
 
@@ -141,6 +142,7 @@ def convert_timm_vit(sd: Dict[str, Any], cfg, prefix: str = "") -> Dict:
     if cfg.reg_tokens:
         params["reg_tokens"] = g("reg_token")
 
+    blocks: List[Dict[str, Any]] = []
     for i in range(cfg.depth - 1):  # only blocks 0..depth-2 are used (feature tap)
         b = f"blocks.{i}."
         qkv_w = g(b + "attn.qkv.weight")  # (3D, D)
@@ -172,7 +174,9 @@ def convert_timm_vit(sd: Dict[str, Any], cfg, prefix: str = "") -> Dict:
             for src in ("ls2.gamma", "ls2.scale_factor"):
                 if prefix + b + src in sd:
                     blk["ls2_gamma"] = g(b + src)
-        params[f"blocks_{i}"] = blk
+        blocks.append(blk)
+    # stacked nn.scan layout: one 'blocks' subtree with a leading layer axis
+    params["blocks"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *blocks)
     return params
 
 

@@ -145,9 +145,22 @@ class ViT(nn.Module):
         if prefix:
             x = jnp.concatenate(prefix + [x], axis=1)
 
-        # run blocks 0 .. depth-2 (skip the last block — intermediate tap)
-        for i in range(cfg.depth - 1):
-            x = ViTBlock(cfg, name=f"blocks_{i}")(x)
+        # run blocks 0 .. depth-2 (skip the last block — intermediate tap).
+        # nn.scan over stacked block params: one compiled block body instead
+        # of depth-1 unrolled blocks (compile time on the big towers).
+        def body(mdl, h, _):
+            return mdl(h), None
+
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=0,
+            out_axes=0,
+            length=cfg.depth - 1,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )
+        x, _ = scan(ViTBlock(cfg, name="blocks"), x, None)
 
         return x[:, cfg.num_prefix_tokens :]  # strip prefix tokens
 

@@ -122,15 +122,23 @@ class VLARFTGRPOTrainer:
             return sample_noisy_actions(rng, gt_actions, b.expert_cfg)
 
         @jax.jit
-        def rollout_fn(vla_params, expert_params, rng, batch):
-            return flow_actor.generate_actions(
-                b.vla, b.expert, vla_params, expert_params, rng, batch, K
+        def encode_fn(vla_params, batch):
+            # one frozen-VLM context forward per UNIQUE sample per step; the
+            # result is reused by rollout, old/ref logp, and every PPO epoch
+            # (the reference re-runs the VLM in each phase,
+            # hf_rollout.py:103 + dp_actor.py:118 + update epochs)
+            return flow_actor.encode_context(b.vla, vla_params, batch)
+
+        @jax.jit
+        def rollout_fn(expert_params, rng, hidden, noise, proprio):
+            return flow_actor.rollout_from_hidden(
+                b.expert, expert_params, rng, hidden, noise, proprio, K
             )
 
         @jax.jit
-        def logp_fn(vla_params, expert_params, batch):
-            return flow_actor.compute_log_prob(
-                b.vla, b.expert, vla_params, expert_params, batch
+        def logp_fn(expert_params, hidden, x_chain, proprio):
+            return flow_actor.logp_from_hidden(
+                b.expert, expert_params, hidden, x_chain, proprio
             )
 
         n_rollout = cfg.actor_rollout_ref.rollout.n
@@ -207,15 +215,14 @@ class VLARFTGRPOTrainer:
         grad_clip = actor_cfg.grad_clip
 
         @jax.jit
-        def update_fn(vla_params, expert_params, opt_state, stacked):
+        def update_fn(expert_params, opt_state, stacked):
             """One PPO mini-batch: scan over micro-batches accumulating grads,
-            then a single clipped/guarded optimizer step."""
+            then a single clipped/guarded optimizer step. Micro-batches carry
+            the precomputed (stop-gradient) VLM context in mb['hidden']."""
             M = stacked["x_chain"].shape[0]
 
             def loss_for(ep, mb):
-                hidden = jax.lax.stop_gradient(
-                    flow_actor.encode_context(b.vla, vla_params, mb)
-                )
+                hidden = jax.lax.stop_gradient(mb["hidden"])
                 return flow_actor.policy_loss_fn(b.expert, ep, hidden, mb, actor_cfg)
 
             def micro(g_acc, mb):
@@ -238,14 +245,10 @@ class VLARFTGRPOTrainer:
             metrics["actor/grad_norm"] = grad_norm
             return new_params, new_opt, metrics
 
-        @jax.jit
-        def ref_logp_fn(vla_params, ref_params, batch):
-            return flow_actor.compute_log_prob(b.vla, b.expert, vla_params, ref_params, batch)
-
+        self._encode = encode_fn
         self._sample_noisy = sample_noisy_fn
         self._rollout = rollout_fn
         self._logp = logp_fn
-        self._ref_logp = ref_logp_fn
         self._process = process_fn
         self._wm_gen = wm_gen_fn
         self._reward = reward_fn
@@ -284,26 +287,33 @@ class VLARFTGRPOTrainer:
             gt_actions = batch["actions"]
             B = gt_actions.shape[0]
 
-            # 1 --- noise (after repeat xn, fsdp_workers.py:629)
-            gt_rep = jnp.repeat(gt_actions, n, axis=0)
-            noise_dict = self._sample_noisy(r_noise, gt_rep)
-
-            actor_batch = self._repeat_n(
-                {
+            # 0 --- ONE frozen-VLM context encode per unique sample
+            with timer("encode_context", timing):
+                enc_batch = {
                     "input_ids": batch["input_ids"],
                     "attention_mask": batch["attention_mask"],
                     "labels": batch["labels"],
                     "pixels": batch["pixel_values"],
-                    "proprio": batch["proprio"],
-                },
-                n,
-            )
-            actor_batch["noise"] = noise_dict["noise"]
+                }
+                hidden_unique = self._encode(self.params["vla"], enc_batch)
+            hidden = jnp.repeat(hidden_unique, n, axis=0)
+
+            # 1 --- noise (after repeat xn, fsdp_workers.py:629)
+            gt_rep = jnp.repeat(gt_actions, n, axis=0)
+            noise_dict = self._sample_noisy(r_noise, gt_rep)
+            proprio_rep = jnp.repeat(batch["proprio"], n, axis=0)
+            actor_batch = {
+                "hidden": hidden,
+                "proprio": proprio_rep,
+                "noise": noise_dict["noise"],
+            }
 
             # 2 --- stochastic action rollout
             with timer("ac_rollout", timing):
-                out = self._rollout(self.params["vla"], self.params["expert"], r_roll, actor_batch)
-                out["predicted_actions"].block_until_ready()
+                out = self._rollout(
+                    self.params["expert"], r_roll, hidden, noise_dict["noise"], proprio_rep
+                )
+                jax.block_until_ready(out)
             actor_batch.update(out)
             actor_batch["gt_actions"] = gt_rep
             actor_batch.update(
@@ -316,16 +326,19 @@ class VLARFTGRPOTrainer:
                     "log_prob_micro_batch_size_per_gpu", None
                 )
                 lp_size = lp_mb * self.n_devices if lp_mb else None
-                keys = ["input_ids", "attention_mask", "labels", "pixels", "proprio", "x_chain"]
-                lp_batch = {k: actor_batch[k] for k in keys}
+                lp_batch = {
+                    "hidden": hidden,
+                    "x_chain": actor_batch["x_chain"],
+                    "proprio": proprio_rep,
+                }
                 actor_batch["old_log_probs"] = self._chunked(
-                    lambda vp, ep, mb: self._logp(vp, ep, mb),
-                    lp_batch, lp_size, self.params["vla"], self.params["expert"],
+                    lambda ep, mb: self._logp(ep, mb["hidden"], mb["x_chain"], mb["proprio"]),
+                    lp_batch, lp_size, self.params["expert"],
                 )
                 if self.ref_expert_params is not None:
                     actor_batch["ref_log_probs"] = self._chunked(
-                        lambda vp, ep, mb: self._ref_logp(vp, ep, mb),
-                        lp_batch, lp_size, self.params["vla"], self.ref_expert_params,
+                        lambda ep, mb: self._logp(ep, mb["hidden"], mb["x_chain"], mb["proprio"]),
+                        lp_batch, lp_size, self.ref_expert_params,
                     )
 
             if cfg.trainer.use_ac_reward:
@@ -405,8 +418,8 @@ class VLARFTGRPOTrainer:
         cfg = self.config
         actor_cfg = cfg.actor_rollout_ref.actor
         select = [
-            "x_chain", "advantages", "attention_mask", "input_ids", "labels",
-            "old_log_probs", "pixels", "proprio", "predicted_actions", "gt_actions",
+            "x_chain", "advantages", "hidden",
+            "old_log_probs", "proprio", "predicted_actions", "gt_actions",
         ]
         if actor_cfg.use_kl_loss:
             select.append("ref_log_probs")
@@ -434,7 +447,7 @@ class VLARFTGRPOTrainer:
                     k: v[: M * micro].reshape(M, micro, *v.shape[1:]) for k, v in mb.items()
                 }
                 self.params["expert"], self.opt_state, m = self._update(
-                    self.params["vla"], self.params["expert"], self.opt_state, stacked
+                    self.params["expert"], self.opt_state, stacked
                 )
                 for k, v in m.items():
                     metrics_acc.setdefault(k, []).append(float(v))

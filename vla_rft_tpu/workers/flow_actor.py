@@ -64,8 +64,28 @@ def generate_actions(
     Returns predicted_actions (B, C, A) bf16 and x_chain (B, K+1, C, A) bf16.
     """
     hidden = encode_context(vla, vla_params, batch)
-    noise = batch["noise"].astype(jnp.bfloat16)
-    proprio = batch["proprio"]
+    return rollout_from_hidden(
+        expert, expert_params, rng, hidden, batch["noise"], batch["proprio"],
+        num_flow_steps,
+    )
+
+
+def rollout_from_hidden(
+    expert: ActionExpert,
+    expert_params,
+    rng: jax.Array,
+    hidden: jnp.ndarray,
+    noise: jnp.ndarray,
+    proprio: jnp.ndarray,
+    num_flow_steps: int = 10,
+) -> Dict[str, jnp.ndarray]:
+    """Flow rollout given a precomputed VLM context.
+
+    The context depends only on (input_ids, pixels, labels) — identical
+    across the n GRPO rollouts and across rollout/logp/update phases — so the
+    trainer encodes each unique sample ONCE per step and reuses/repeats the
+    hidden states (the reference re-runs the frozen VLM in every phase)."""
+    noise = noise.astype(jnp.bfloat16)
     K = num_flow_steps
     dt = -1.0 / K
     B = noise.shape[0]
@@ -158,6 +178,19 @@ def compute_log_prob(
     if return_entropy:
         return logp, ent, hidden
     return logp
+
+
+def logp_from_hidden(
+    expert: ActionExpert,
+    expert_params,
+    hidden: jnp.ndarray,
+    x_chain: jnp.ndarray,
+    proprio: jnp.ndarray,
+    return_entropy: bool = False,
+):
+    """Chain replay given a precomputed VLM context (see rollout_from_hidden)."""
+    logp, ent = _replay_logp(expert, expert_params, hidden, x_chain, proprio, return_entropy)
+    return (logp, ent) if return_entropy else logp
 
 
 def policy_loss_fn(
