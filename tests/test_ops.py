@@ -140,3 +140,18 @@ def test_flash_grad_matches_xla(causal):
     g_fl = jax.grad(loss_fl, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_fl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
+
+
+def test_flash_kv_starts_left_padding():
+    rng = np.random.default_rng(5)
+    q, k, v = _rand_qkv(rng, B=2, Sq=64, Sk=64)
+    starts = jnp.asarray([0, 16])
+    ref = attention(q, k, v, causal=True, kv_starts=starts, impl="xla")
+    out = attention(
+        q, k, v, causal=True, kv_starts=starts, impl="pallas",
+        block_q=32, block_k=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    # row with left padding differs from unpadded attention
+    ref_nopad = attention(q, k, v, causal=True, impl="xla")
+    assert not np.allclose(np.asarray(ref[1, 30:]), np.asarray(ref_nopad[1, 30:]))

@@ -159,9 +159,11 @@ def init_params(bundle: ModelBundle, rng: jax.Array) -> Dict[str, Any]:
     Runs on CPU: compiling the full-model init programs on TPU costs ~10
     minutes of remote compile for zero benefit; the trainer shards the
     resulting trees onto the mesh afterwards."""
+    from vla_rft_tpu.ops.attention import force_impl
+
     cpus = jax.devices("cpu")
     if cpus:
-        with jax.default_device(cpus[0]):
+        with jax.default_device(cpus[0]), force_impl("xla"):
             return _init_params_impl(bundle, rng)
     return _init_params_impl(bundle, rng)
 

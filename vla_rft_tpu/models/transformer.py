@@ -137,7 +137,7 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(
         self, x, positions, kv_lens, cache=None, cache_index=None, causal=True,
-        layer_idx=None,
+        layer_idx=None, kv_starts=None,
     ):
         """cache: FULL stacked (ck, cv) of shape (L, B, S, nkv, hd), updated
         in place at `layer_idx` via dynamic_update_slice so lax.scan keeps one
@@ -174,10 +174,14 @@ class Attention(nn.Module):
             q_offset = jnp.full((B,), cache_index, jnp.int32)
             out = attention(
                 q, k_all, v_all, causal=causal, kv_lens=kv_lens_eff,
-                q_offset=q_offset, impl="xla" if S < 32 else cfg.attn_impl,
+                q_offset=q_offset, kv_starts=kv_starts,
+                impl="xla" if S < 32 else cfg.attn_impl,
             )
         else:
-            out = attention(q, k, v, causal=causal, kv_lens=kv_lens, impl=cfg.attn_impl)
+            out = attention(
+                q, k, v, causal=causal, kv_lens=kv_lens, kv_starts=kv_starts,
+                impl=cfg.attn_impl,
+            )
         out = nn.DenseGeneral(
             cfg.hidden_size, axis=(-2, -1), use_bias=False, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, name="o_proj",
@@ -205,12 +209,12 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(
         self, x, positions, kv_lens, cache=None, cache_index=None, causal=True,
-        layer_idx=None,
+        layer_idx=None, kv_starts=None,
     ):
         cfg = self.cfg
         h, new_cache = Attention(cfg, name="self_attn")(
             RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="input_layernorm")(x),
-            positions, kv_lens, cache, cache_index, causal, layer_idx,
+            positions, kv_lens, cache, cache_index, causal, layer_idx, kv_starts,
         )
         x = x + h
         x = x + MLP(cfg, name="mlp")(
@@ -243,6 +247,7 @@ class Decoder(nn.Module):
         compute_logits: bool = True,
         embed_only: bool = False,
         logits_last_only: bool = False,
+        kv_starts: Optional[jnp.ndarray] = None,
     ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[Dict]]:
         cfg = self.cfg
         embed = nn.Embed(
@@ -277,7 +282,9 @@ class Decoder(nn.Module):
         # and copy the entire cache every call (fatal in decode loops).
         def body(mdl, carry, _):
             h, pos, layer_cache, li = carry
-            h, new_cache = mdl(h, pos, kv_lens, layer_cache, cache_index, causal, li)
+            h, new_cache = mdl(
+                h, pos, kv_lens, layer_cache, cache_index, causal, li, kv_starts
+            )
             return (h, pos, new_cache, li + 1), None
 
         scan = nn.scan(

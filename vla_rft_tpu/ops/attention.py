@@ -31,6 +31,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+_IMPL_OVERRIDE: list = []
+
+
+class force_impl:
+    """Context manager forcing the 'auto' implementation choice (e.g. 'xla'
+    while tracing on CPU for parameter init)."""
+
+    def __init__(self, impl: str):
+        self.impl = impl
+
+    def __enter__(self):
+        _IMPL_OVERRIDE.append(self.impl)
+        return self
+
+    def __exit__(self, *exc):
+        _IMPL_OVERRIDE.pop()
+        return False
+
 
 # =============================================================== XLA reference
 def _attention_xla(
@@ -41,6 +59,7 @@ def _attention_xla(
     kv_lens: Optional[jnp.ndarray],
     q_offset: Optional[jnp.ndarray],
     scale: float,
+    kv_starts: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     B, Sq, Hq, D = q.shape
     _, Sk, Hkv, _ = k.shape
@@ -52,6 +71,9 @@ def _attention_xla(
     kv_pos = jnp.arange(Sk)[None, :]
     if kv_lens is not None:
         mask = mask & (kv_pos < kv_lens[:, None])[:, None, None, None, :]
+    if kv_starts is not None:
+        # left padding: keys before kv_starts are invalid
+        mask = mask & (kv_pos >= kv_starts[:, None])[:, None, None, None, :]
     if causal:
         q_pos = jnp.arange(Sq)[None, :]
         if q_offset is not None:
@@ -66,8 +88,9 @@ def _attention_xla(
 
 # ============================================================ Pallas fwd kernel
 def _fwd_kernel(
-    kv_lens_ref,  # SMEM (1,)    per-batch kv length
-    q_off_ref,  # SMEM (1,)      per-batch query position offset
+    kv_lens_ref,  # SMEM (B,)    per-batch kv length
+    q_off_ref,  # SMEM (B,)      per-batch query position offset
+    kv_starts_ref,  # SMEM (B,)  per-batch first valid key (left padding)
     q_ref,  # VMEM (1, 1, bq, D)
     k_ref,  # VMEM (1, 1, Sk, D)
     v_ref,  # VMEM (1, 1, Sk, D)
@@ -84,6 +107,7 @@ def _fwd_kernel(
     qi = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, D)
     kv_len = kv_lens_ref[bi]
+    kv_start = kv_starts_ref[bi]
     q_pos = (
         qi * block_q
         + q_off_ref[bi]
@@ -100,7 +124,7 @@ def _fwd_kernel(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bk)
         kv_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        mask = kv_pos < kv_len
+        mask = (kv_pos < kv_len) & (kv_pos >= kv_start)
         if causal:
             mask = mask & (q_pos >= kv_pos)
         s = jnp.where(mask, s, NEG_INF)
@@ -128,6 +152,7 @@ def _fwd_kernel(
 def _dq_kernel(
     kv_lens_ref,
     q_off_ref,
+    kv_starts_ref,
     q_ref,  # (1,1,bq,D)
     k_ref,  # (1,1,Sk,D)
     v_ref,  # (1,1,Sk,D)
@@ -149,6 +174,7 @@ def _dq_kernel(
     lse = lse_ref[0, 0]  # (bq, 1)
     delta = delta_ref[0, 0]  # (bq, 1)
     kv_len = kv_lens_ref[bi]
+    kv_start = kv_starts_ref[bi]
     q_pos = (
         qi * block_q
         + q_off_ref[bi]
@@ -166,7 +192,7 @@ def _dq_kernel(
             * scale
         )
         kv_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        mask = kv_pos < kv_len
+        mask = (kv_pos < kv_len) & (kv_pos >= kv_start)
         if causal:
             mask = mask & (q_pos >= kv_pos)
         s = jnp.where(mask, s, NEG_INF)
@@ -188,6 +214,7 @@ def _dq_kernel(
 def _dkv_kernel(
     kv_lens_ref,
     q_off_ref,
+    kv_starts_ref,
     q_ref,  # (1,1,G,Sq,D)  all query heads of this kv group
     k_ref,  # (1,1,bk,D)
     v_ref,  # (1,1,bk,D)
@@ -209,6 +236,7 @@ def _dkv_kernel(
     k_blk = k_ref[0, 0].astype(jnp.float32)  # (bk, D)
     v_blk = v_ref[0, 0].astype(jnp.float32)
     kv_len = kv_lens_ref[bi]
+    kv_start = kv_starts_ref[bi]
     kv_pos = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
     nqb = sq // block_q
 
@@ -239,7 +267,7 @@ def _dkv_kernel(
                 )
                 * scale
             )
-            mask = kv_pos < kv_len
+            mask = (kv_pos < kv_len) & (kv_pos >= kv_start)
             if causal:
                 mask = mask & (q_pos >= kv_pos)
             s = jnp.where(mask, s, NEG_INF)
@@ -284,16 +312,16 @@ def _round_up(x, m):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10)
 )
-def _flash(q, k, v, kv_lens, q_offset, causal, scale, block_q, block_k, interpret):
+def _flash(q, k, v, kv_lens, q_offset, kv_starts, causal, scale, block_q, block_k, interpret):
     out, _ = _flash_fwd_impl(
-        q, k, v, kv_lens, q_offset, causal, scale, block_q, block_k, interpret
+        q, k, v, kv_lens, q_offset, kv_starts, causal, scale, block_q, block_k, interpret
     )
     return out
 
 
-def _flash_fwd_impl(q, k, v, kv_lens, q_offset, causal, scale, block_q, block_k, interpret):
+def _flash_fwd_impl(q, k, v, kv_lens, q_offset, kv_starts, causal, scale, block_q, block_k, interpret):
     B, Sq, Hq, D = q.shape
     _, Sk, Hkv, _ = k.shape
     sq_p = _round_up(Sq, block_q)
@@ -316,6 +344,7 @@ def _flash_fwd_impl(q, k, v, kv_lens, q_offset, causal, scale, block_q, block_k,
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
@@ -350,21 +379,21 @@ def _flash_fwd_impl(q, k, v, kv_lens, q_offset, causal, scale, block_q, block_k,
             bytes_accessed=2 * B * (Hq * sq_p + 2 * Hkv * sk_p) * D,
             transcendentals=B * Hq * sq_p * sk_p,
         ),
-    )(kv_lens.astype(jnp.int32), q_offset.astype(jnp.int32), qt, kt, vt)
+    )(kv_lens.astype(jnp.int32), q_offset.astype(jnp.int32), kv_starts.astype(jnp.int32), qt, kt, vt)
     out_final = jnp.swapaxes(out[:, :, :Sq], 1, 2)
     return out_final, (out, lse, qt, kt, vt)
 
 
-def _flash_fwd_vjp(q, k, v, kv_lens, q_offset, causal, scale, block_q, block_k, interpret):
+def _flash_fwd_vjp(q, k, v, kv_lens, q_offset, kv_starts, causal, scale, block_q, block_k, interpret):
     out_final, (out, lse, qt, kt, vt) = _flash_fwd_impl(
-        q, k, v, kv_lens, q_offset, causal, scale, block_q, block_k, interpret
+        q, k, v, kv_lens, q_offset, kv_starts, causal, scale, block_q, block_k, interpret
     )
-    res = (qt, kt, vt, out, lse, kv_lens, q_offset, q.shape, k.shape)
+    res = (qt, kt, vt, out, lse, kv_lens, q_offset, kv_starts, q.shape, k.shape)
     return out_final, res
 
 
 def _flash_bwd_vjp(causal, scale, block_q, block_k, interpret, res, g):
-    qt, kt, vt, out, lse, kv_lens, q_offset, q_shape, k_shape = res
+    qt, kt, vt, out, lse, kv_lens, q_offset, kv_starts, q_shape, k_shape = res
     B, Sq, Hq, D = q_shape
     _, Sk, Hkv, _ = k_shape
     sq_p = qt.shape[2]
@@ -377,6 +406,7 @@ def _flash_bwd_vjp(causal, scale, block_q, block_k, interpret, res, g):
 
     kv_lens_i = kv_lens.astype(jnp.int32)
     q_off_i = q_offset.astype(jnp.int32)
+    kv_starts_i = kv_starts.astype(jnp.int32)
 
     # ---- dq ----
     dq_kernel = functools.partial(
@@ -386,6 +416,7 @@ def _flash_bwd_vjp(causal, scale, block_q, block_k, interpret, res, g):
         dq_kernel,
         grid=(B, Hq, sq_p // block_q),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
@@ -400,7 +431,7 @@ def _flash_bwd_vjp(causal, scale, block_q, block_k, interpret, res, g):
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hq, sq_p, D), qt.dtype),
         interpret=interpret,
-    )(kv_lens_i, q_off_i, qt, kt, vt, dot, lse, delta)
+    )(kv_lens_i, q_off_i, kv_starts_i, qt, kt, vt, dot, lse, delta)
 
     # ---- dk, dv ----
     q5 = qt.reshape(B, Hkv, group, sq_p, D)
@@ -423,6 +454,7 @@ def _flash_bwd_vjp(causal, scale, block_q, block_k, interpret, res, g):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, group, sq_p, D), lambda b, h, j: (b, h, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0), memory_space=pltpu.VMEM),
@@ -439,12 +471,12 @@ def _flash_bwd_vjp(causal, scale, block_q, block_k, interpret, res, g):
             jax.ShapeDtypeStruct((B, Hkv, sk_p, D), vt.dtype),
         ],
         interpret=interpret,
-    )(kv_lens_i, q_off_i, q5, kt, vt, do5, lse5, delta5)
+    )(kv_lens_i, q_off_i, kv_starts_i, q5, kt, vt, do5, lse5, delta5)
 
     dq_f = jnp.swapaxes(dq[:, :, :Sq], 1, 2)
     dk_f = jnp.swapaxes(dk[:, :, :Sk], 1, 2)
     dv_f = jnp.swapaxes(dv[:, :, :Sk], 1, 2)
-    return dq_f, dk_f, dv_f, None, None
+    return dq_f, dk_f, dv_f, None, None, None
 
 
 _flash.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)
@@ -459,6 +491,7 @@ def attention(
     causal: bool = False,
     kv_lens: Optional[jnp.ndarray] = None,
     q_offset: Optional[jnp.ndarray] = None,
+    kv_starts: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     impl: str = "auto",
     block_q: int = 128,
@@ -472,23 +505,28 @@ def attention(
       causal: causal masking on absolute positions.
       kv_lens: (B,) valid key counts (right padding masked out).
       q_offset: (B,) absolute position of q[0] (for chunked decode).
+      kv_starts: (B,) first valid key index (left padding masked out).
       impl: 'auto' | 'xla' | 'pallas'.
     """
     B, Sq, Hq, D = q.shape
     if scale is None:
         scale = D**-0.5
+    if impl == "auto" and _IMPL_OVERRIDE:
+        impl = _IMPL_OVERRIDE[-1]
     if impl == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         # pallas path needs MXU-friendly sizes to win; tiny Sq (decode) -> xla
         impl = "pallas" if (on_tpu and Sq >= 32) else "xla"
     if impl == "xla":
-        return _attention_xla(q, k, v, causal, kv_lens, q_offset, scale)
+        return _attention_xla(q, k, v, causal, kv_lens, q_offset, scale, kv_starts)
     Sk = k.shape[1]
     if kv_lens is None:
         kv_lens = jnp.full((B,), Sk, jnp.int32)
     if q_offset is None:
         # standard self-attention: q position == absolute index
         q_offset = jnp.zeros((B,), jnp.int32)
+    if kv_starts is None:
+        kv_starts = jnp.zeros((B,), jnp.int32)
     return _flash(
-        q, k, v, kv_lens, q_offset, causal, float(scale), block_q, block_k, interpret
+        q, k, v, kv_lens, q_offset, kv_starts, causal, float(scale), block_q, block_k, interpret
     )
