@@ -234,6 +234,13 @@ def vla_rft_default_config() -> Config:
                     "val_kwargs": {"top_k": -1, "top_p": 0.8, "temperature": 1.0},
                 },
             },
+            "critic": {
+                "optim": {"lr": 1e-5, "weight_decay": 0.01},
+                "grad_clip": 1.0,
+                "cliprange_value": 0.5,
+                "ppo_epochs": 1,
+            },
+            "reward_model": {"enable": False, "reward_manager": "naive"},
             "algorithm": {
                 "gamma": 1.0,
                 "lam": 1.0,
