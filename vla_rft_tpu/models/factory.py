@@ -168,6 +168,35 @@ def init_params(bundle: ModelBundle, rng: jax.Array) -> Dict[str, Any]:
     return _init_params_impl(bundle, rng)
 
 
+def fast_random_params(bundle: ModelBundle, seed: int = 0) -> Dict[str, Any]:
+    """Shape-only init: jax.eval_shape traces the init (zero FLOPs), leaves
+    are materialized with numpy RNG (normal(0, 0.02) for weights, zeros for
+    vectors).  Exact flax init distributions don't matter here — real weights
+    come from tools/convert_weights.py; this exists so building the full-size
+    bundle takes seconds, not the minutes a real init forward costs."""
+    from vla_rft_tpu.ops.attention import force_impl
+
+    with force_impl("xla"):
+        shapes = jax.eval_shape(lambda r: _init_params_impl(bundle, r), jax.random.key(0))
+
+    rng = np.random.default_rng(seed)
+
+    def materialize(path, sd):
+        shape = tuple(sd.shape)
+        dtype = sd.dtype
+        name = str(getattr(path[-1], "key", path[-1])).lower()
+        # norm scales / layerscale gammas must be ~1 to keep signal alive
+        # (flax names: Dense='kernel', Embed='embedding', norms='weight'/'scale')
+        if name in ("weight", "scale") or "gamma" in name:
+            return jnp.ones(shape, dtype)
+        if name == "bias":
+            return jnp.zeros(shape, dtype)
+        arr = rng.normal(0.0, 0.02, size=shape).astype(np.float32)
+        return jnp.asarray(arr, dtype)
+
+    return jax.tree_util.tree_map_with_path(materialize, shapes)
+
+
 def _init_params_impl(bundle: ModelBundle, rng: jax.Array) -> Dict[str, Any]:
     ks = jax.random.split(rng, 5)
     B = 1

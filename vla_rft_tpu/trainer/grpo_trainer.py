@@ -98,7 +98,9 @@ class VLARFTGRPOTrainer:
     # ------------------------------------------------------------------ state
     def _init_state(self, params):
         if params is None:
-            params = init_params(self.bundle, jax.random.key(self._seed))
+            from vla_rft_tpu.models.factory import fast_random_params
+
+            params = fast_random_params(self.bundle, self._seed)
         # frozen trees replicated/fsdp-sharded; trainable expert params sharded too
         self.params = {k: shard_params_fsdp(self.mesh, v) for k, v in params.items()}
         self.opt_state = self.tx.init(self.params["expert"])
