@@ -27,6 +27,10 @@ A100_BASELINE_FRAMES_PER_SEC_PER_CHIP = 17.0
 
 def main():
     import jax
+
+    from vla_rft_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from vla_rft_tpu.config import vla_rft_default_config

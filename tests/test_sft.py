@@ -1,0 +1,49 @@
+"""SFT trainers: text CE decreases; flow BC loss decreases
+(reference analog: tests/sft/test_sp_loss_match.py role)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vla_rft_tpu.models.action_head import ActionExpert, ActionHeadConfig
+from vla_rft_tpu.models.transformer import TransformerConfig
+from vla_rft_tpu.parallel.mesh import MeshConfig, make_mesh
+from vla_rft_tpu.trainer.sft_trainer import SFTTrainer, VLAFlowSFTTrainer
+
+CFG = TransformerConfig(
+    vocab_size=50, hidden_size=32, intermediate_size=64, num_layers=2,
+    num_heads=4, num_kv_heads=4, dtype=jnp.float32, param_dtype=jnp.float32,
+    attn_impl="xla",
+)
+
+
+def test_text_sft_loss_decreases():
+    mesh = make_mesh(MeshConfig(dp=1), devices=jax.devices()[:1])
+    t = SFTTrainer(CFG, lr=5e-3, mesh=mesh)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 50, (4, 12))
+    batch = {
+        "input_ids": ids.astype(np.int32),
+        "labels": ids.astype(np.int32),
+        "attention_mask": np.ones((4, 12), np.int32),
+    }
+    losses = [t.training_step(batch) for _ in range(8)]
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_flow_bc_loss_decreases():
+    ecfg = ActionHeadConfig(
+        llm_dim=16, dit_hidden=32, dit_depth=2, dit_heads=4,
+        num_actions_chunk=4, dtype=jnp.float32,
+    )
+    expert = ActionExpert(ecfg)
+    B = 4
+    hidden = jnp.asarray(np.random.default_rng(0).normal(size=(B, 6, 16)), jnp.float32)
+    gt = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (B, 4, 7)), jnp.float32)
+    proprio = jnp.zeros((B, 8))
+    params = expert.init(jax.random.key(0), hidden, gt, jnp.zeros((B,)), proprio)
+    t = VLAFlowSFTTrainer(expert, params, lr=3e-3)
+    losses = [
+        t.training_step(jax.random.key(i), hidden, gt, proprio) for i in range(10)
+    ]
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])

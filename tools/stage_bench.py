@@ -2,6 +2,8 @@
 import time
 
 import jax
+from vla_rft_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 import numpy as np
 
 from vla_rft_tpu.config import vla_rft_default_config

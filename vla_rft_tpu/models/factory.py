@@ -191,7 +191,7 @@ def fast_random_params(bundle: ModelBundle, seed: int = 0) -> Dict[str, Any]:
             return jnp.ones(shape, dtype)
         if name == "bias":
             return jnp.zeros(shape, dtype)
-        arr = rng.normal(0.0, 0.02, size=shape).astype(np.float32)
+        arr = rng.standard_normal(size=shape, dtype=np.float32) * np.float32(0.02)
         return jnp.asarray(arr, dtype)
 
     return jax.tree_util.tree_map_with_path(materialize, shapes)
