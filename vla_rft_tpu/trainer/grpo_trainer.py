@@ -26,7 +26,16 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
+import time
 from typing import Any, Dict, Optional
+
+_VERBOSE = os.environ.get("VLA_RFT_VERBOSE", "") not in ("", "0")
+
+
+def _vlog(msg: str) -> None:
+    if _VERBOSE:
+        print(f"[trainer {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 import jax
 import jax.numpy as jnp
@@ -156,23 +165,21 @@ class VLARFTGRPOTrainer:
             idx_c, idx_d = b.tokenizer.apply(
                 tok_params, pixels_w, method=b.tokenizer.tokenize
             )  # (B,1,Nc), (B,T,Nd)
-            # tile visual tokens and frames across the n rollouts
+            # tile visual tokens across the n rollouts (tokens only — tiny)
             idx_c = jnp.repeat(idx_c, n_rollout, axis=0)
             idx_d = jnp.repeat(idx_d, n_rollout, axis=0)
-            pixels_w_rep = jnp.repeat(pixels_w, n_rollout, axis=0)
-            _, pred_actions_w = add_context_frame(
-                jnp.zeros_like(pixels_w_rep[:, : pred_actions.shape[1] + 1, :1, :1, :1]),
-                pred_actions,
-            )
+
+            def pad_actions(a):
+                # actions_w_ctx_frame (fsdp_workers.py:1852-1854): [a0, a, aT]
+                return jnp.concatenate([a[:, :1], a, a[:, -1:]], axis=1)
+
+            pred_actions_w = pad_actions(pred_actions)
             out = ctx_msp_process(
                 b.proc_cfg, idx_c, idx_d, pred_actions_w, self.action_ranges
             )
             if use_gt_ac:
                 gt_rep = jnp.repeat(gt_actions, n_rollout, axis=0)
-                _, gt_actions_w = add_context_frame(
-                    jnp.zeros_like(pixels_w_rep[:, : gt_rep.shape[1] + 1, :1, :1, :1]),
-                    gt_rep,
-                )
+                gt_actions_w = pad_actions(gt_rep)
                 gt_act_ids = (
                     discretize_actions(
                         gt_actions_w[:, 1:], self.action_ranges, b.proc_cfg.action_bins
@@ -180,7 +187,10 @@ class VLARFTGRPOTrainer:
                     + 2 * b.proc_cfg.visual_token_num
                 )
                 out["gt_action_ids"] = gt_act_ids.astype(jnp.int32)
-            out["pixels_w_ctx"] = pixels_w_rep
+            else:
+                # real frames needed only for the non-gt reward path; keep
+                # them UNIQUE (B) — tiling xn at fp32 costs GBs for nothing
+                out["pixels_w_ctx_unique"] = pixels_w
             return out
 
         roll_cfg = b.wm_roll_cfg
@@ -298,6 +308,8 @@ class VLARFTGRPOTrainer:
                     "pixels": batch["pixel_values"],
                 }
                 hidden_unique = self._encode(self.params["vla"], enc_batch)
+                jax.block_until_ready(hidden_unique)
+            _vlog("encode_context done")
             hidden = jnp.repeat(hidden_unique, n, axis=0)
 
             # 1 --- noise (after repeat xn, fsdp_workers.py:629)
@@ -316,6 +328,7 @@ class VLARFTGRPOTrainer:
                     self.params["expert"], r_roll, hidden, noise_dict["noise"], proprio_rep
                 )
                 jax.block_until_ready(out)
+            _vlog("ac_rollout done")
             actor_batch.update(out)
             actor_batch["gt_actions"] = gt_rep
             actor_batch.update(
@@ -337,6 +350,7 @@ class VLARFTGRPOTrainer:
                     lambda ep, mb: self._logp(ep, mb["hidden"], mb["x_chain"], mb["proprio"]),
                     lp_batch, lp_size, self.params["expert"],
                 )
+                _vlog("old_log_prob done")
                 if self.ref_expert_params is not None:
                     actor_batch["ref_log_probs"] = self._chunked(
                         lambda ep, mb: self._logp(ep, mb["hidden"], mb["x_chain"], mb["proprio"]),
@@ -358,6 +372,8 @@ class VLARFTGRPOTrainer:
                         self.params["tokenizer"], batch["raw_pixel_values"],
                         actor_batch["predicted_actions"], gt_actions,
                     )
+                    jax.block_until_ready(wm_inputs["input_ids"])
+                _vlog("process done")
 
                 # 5 --- WM rollout (+ optional gt branch)
                 with timer("wm_rollout", timing):
@@ -372,20 +388,38 @@ class VLARFTGRPOTrainer:
                         )
                     responses.block_until_ready()
 
-                # 6 --- reward
+                _vlog("wm_rollout done")
+                # 6 --- reward, micro-batched at host level (the reference
+                # uses tokenizer_micro_batch_size=4 / lpips bs=8 for the same
+                # reason — FSQ decode + VGG at 256^2 x 8 frames is huge)
                 with timer("adv", timing):
-                    real_frames = (
-                        None if use_gt_ac else wm_inputs["pixels_w_ctx"][:, 2:]
-                    )
-                    reward_tensor, r_metrics = self._reward(
-                        self.params["tokenizer"], self.params["lpips"], responses,
-                        wm_inputs["ctx_tokens"],
-                        real_frames if real_frames is not None else jnp.zeros((1,)),
-                        gt_responses,
-                    )
-                    metrics.update({k: float(v) for k, v in r_metrics.items()})
+                    rw_mb = cfg.processor.get("tokenizer_micro_batch_size", 4) or 4
+                    rw_size = rw_mb * self.n_devices
+                    total_r = responses.shape[0]
+                    rew_chunks, rm_acc = [], {}
+                    for i in range(0, total_r, rw_size):
+                        sl = slice(i, i + rw_size)
+                        if use_gt_ac:
+                            rf = jnp.zeros((1,))
+                            gtr = gt_responses[sl]
+                        else:
+                            # unique frames tiled only within this chunk
+                            uniq = wm_inputs["pixels_w_ctx_unique"][:, 2:]
+                            idx = (jnp.arange(i, min(i + rw_size, total_r)) // n)
+                            rf = uniq[idx]
+                            gtr = None
+                        r, r_metrics = self._reward(
+                            self.params["tokenizer"], self.params["lpips"],
+                            responses[sl], wm_inputs["ctx_tokens"][sl], rf, gtr,
+                        )
+                        rew_chunks.append(r)
+                        for k, v in r_metrics.items():
+                            rm_acc.setdefault(k, []).append(float(v))
+                    reward_tensor = jnp.concatenate(rew_chunks, axis=0)
+                    metrics.update({k: float(np.mean(v)) for k, v in rm_acc.items()})
                     token_level_rewards = reward_tensor
 
+            _vlog("reward done")
             # 7 --- GRPO advantage over uid groups (= repeat structure)
             group_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), n)
             advantages, returns = self._advantage(token_level_rewards, group_ids, int(B))
@@ -395,6 +429,7 @@ class VLARFTGRPOTrainer:
             with timer("update_actor", timing):
                 update_metrics = self._ppo_update(actor_batch, r_shuffle)
             metrics.update(update_metrics)
+            _vlog("update done")
 
             metrics.update(
                 compute_data_metrics(
