@@ -375,17 +375,30 @@ class VLARFTGRPOTrainer:
                     jax.block_until_ready(wm_inputs["input_ids"])
                 _vlog("process done")
 
-                # 5 --- WM rollout (+ optional gt branch)
+                # 5 --- WM rollout (+ optional gt branch), host-chunked: the
+                # KV cache is ~160MB/seq and the scan double-buffers it, so
+                # cap concurrent sequences per chip (max_num_seqs analog,
+                # yaml:224)
                 with timer("wm_rollout", timing):
                     prompt = wm_inputs["input_ids"][:, : b.wm_roll_cfg.prompt_length]
-                    responses = self._wm_gen(
-                        self.params["wm"], r_wm, prompt, wm_inputs["action_ids"]
-                    )
-                    gt_responses = None
-                    if use_gt_ac:
-                        gt_responses = self._wm_gen(
-                            self.params["wm"], r_wm_gt, prompt, wm_inputs["gt_action_ids"]
-                        )
+                    wm_mb = cfg.world_model_rollout.rollout.get("micro_batch_size", 16) or 16
+                    wm_size = wm_mb * self.n_devices
+                    total_r = prompt.shape[0]
+
+                    def run_wm(rng_base, action_key):
+                        outs = []
+                        for ci, i in enumerate(range(0, total_r, wm_size)):
+                            sl = slice(i, i + wm_size)
+                            outs.append(
+                                self._wm_gen(
+                                    self.params["wm"], jax.random.fold_in(rng_base, ci),
+                                    prompt[sl], wm_inputs[action_key][sl],
+                                )
+                            )
+                        return jnp.concatenate(outs, axis=0)
+
+                    responses = run_wm(r_wm, "action_ids")
+                    gt_responses = run_wm(r_wm_gt, "gt_action_ids") if use_gt_ac else None
                     responses.block_until_ready()
 
                 _vlog("wm_rollout done")
