@@ -155,3 +155,27 @@ def test_flash_kv_starts_left_padding():
     # row with left padding differs from unpadded attention
     ref_nopad = attention(q, k, v, causal=True, impl="xla")
     assert not np.allclose(np.asarray(ref[1, 30:]), np.asarray(ref_nopad[1, 30:]))
+
+
+def test_decode_attention_kernel_matches_xla():
+    from vla_rft_tpu.ops.decode_attention import decode_attention
+
+    rng = np.random.default_rng(7)
+    L, B, Hkv, G, S, D = 3, 2, 2, 2, 64, 32
+    Hq = Hkv * G
+    ck = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32) * 0.3
+    cv = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32) * 0.3
+    kv_lens = jnp.asarray([40, 64])
+    kv_starts = jnp.asarray([0, 8])
+    for li in range(L):
+        out = decode_attention(
+            q, ck, cv, jnp.asarray(li), kv_lens, kv_starts, interpret=True
+        )
+        k_all = jnp.swapaxes(ck[li], 1, 2)  # (B, S, Hkv, D)
+        v_all = jnp.swapaxes(cv[li], 1, 2)
+        ref = attention(
+            q, k_all, v_all, causal=False, kv_lens=kv_lens, kv_starts=kv_starts,
+            impl="xla",
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)

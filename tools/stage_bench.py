@@ -19,6 +19,8 @@ def main(B_unique=2, n=16):
     c.actor_rollout_ref.actor.ppo_micro_batch_size_per_gpu = 8
     c.actor_rollout_ref.rollout.log_prob_micro_batch_size_per_gpu = 16
     c.trainer.logger = []
+    import os as _os
+    c.world_model_rollout.rollout.micro_batch_size = int(_os.environ.get("WM_MB", "16"))
     c.mesh = {"dp": 1, "fsdp": 1, "tp": 1, "sp": 1}
     mesh = make_mesh(MeshConfig(dp=1), devices=jax.devices()[:1])
 

@@ -131,8 +131,10 @@ def build_models(config, preset: str = "libero") -> ModelBundle:
     wm_cfg = TransformerConfig.wm_llama(
         vocab_size=config.world_model_rollout.world_model.vocab_size
     )
-    tokenizer = CompressiveVQModelFSQ()
-    lpips = LPIPS()
+    # bf16 compute matches the reference's autocast (fsdp_workers.py:1732,
+    # processor batch_forward autocast) and halves reward-stage time
+    tokenizer = CompressiveVQModelFSQ(dtype=jnp.bfloat16)
+    lpips = LPIPS(dtype=jnp.bfloat16)
     return ModelBundle(
         vla=OpenVLA(vla_cfg),
         expert=ActionExpert(expert_cfg),

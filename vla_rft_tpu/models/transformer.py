@@ -158,25 +158,41 @@ class Attention(nn.Module):
 
         new_cache = None
         if cache is not None:
-            ck, cv = cache  # (L, B, S, nkv, hd)
+            ck, cv = cache  # (L, B, nkv, S, hd) — (S, hd) tiled for the decode kernel
             li = jnp.asarray(layer_idx, jnp.int32)
             idx = jnp.asarray(cache_index, jnp.int32)
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype)[None], (li, 0, idx, 0, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype)[None], (li, 0, idx, 0, 0)
-            )
+            k_t = jnp.swapaxes(k, 1, 2).astype(ck.dtype)[None]  # (1, B, nkv, S, hd)
+            v_t = jnp.swapaxes(v, 1, 2).astype(cv.dtype)[None]
+            ck = jax.lax.dynamic_update_slice(ck, k_t, (li, 0, 0, idx, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v_t, (li, 0, 0, idx, 0))
             new_cache = (ck, cv)
-            k_all = jax.lax.dynamic_index_in_dim(ck, li, axis=0, keepdims=False)
-            v_all = jax.lax.dynamic_index_in_dim(cv, li, axis=0, keepdims=False)
             kv_lens_eff = jnp.minimum(kv_lens, cache_index + S)
-            q_offset = jnp.full((B,), cache_index, jnp.int32)
-            out = attention(
-                q, k_all, v_all, causal=causal, kv_lens=kv_lens_eff,
-                q_offset=q_offset, kv_starts=kv_starts,
-                impl="xla" if S < 32 else cfg.attn_impl,
-            )
+
+            from vla_rft_tpu.ops.attention import _IMPL_OVERRIDE
+
+            impl = cfg.attn_impl
+            if impl == "auto" and _IMPL_OVERRIDE:
+                impl = _IMPL_OVERRIDE[-1]
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            if S == 1 and impl in ("auto", "pallas") and on_tpu:
+                # single-token decode: pallas kernel reads the stacked cache
+                # in place (no per-layer slice copy)
+                from vla_rft_tpu.ops.decode_attention import decode_attention
+
+                out = decode_attention(q, ck, cv, li, kv_lens_eff, kv_starts)
+            else:
+                k_all = jnp.swapaxes(
+                    jax.lax.dynamic_index_in_dim(ck, li, axis=0, keepdims=False), 1, 2
+                )
+                v_all = jnp.swapaxes(
+                    jax.lax.dynamic_index_in_dim(cv, li, axis=0, keepdims=False), 1, 2
+                )
+                q_offset = jnp.full((B,), cache_index, jnp.int32)
+                out = attention(
+                    q, k_all, v_all, causal=causal, kv_lens=kv_lens_eff,
+                    q_offset=q_offset, kv_starts=kv_starts,
+                    impl="xla" if S < 32 else cfg.attn_impl,
+                )
         else:
             out = attention(
                 q, k, v, causal=causal, kv_lens=kv_lens, kv_starts=kv_starts,
@@ -322,5 +338,5 @@ class Decoder(nn.Module):
     def init_cache(self, batch_size: int, max_len: int, dtype=None) -> Dict:
         cfg = self.cfg
         dtype = dtype or cfg.dtype
-        shape = (cfg.num_layers, batch_size, max_len, cfg.num_kv_heads, cfg.hd)
+        shape = (cfg.num_layers, batch_size, cfg.num_kv_heads, max_len, cfg.hd)
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))

@@ -1,0 +1,123 @@
+"""Pallas decode attention: one query token against a stacked KV cache.
+
+The autoregressive WM/LLM decode loop is HBM-bandwidth-bound; the XLA path
+pays a full layer-slice copy per step (`dynamic_index_in_dim` on the
+(L, B, H, S, D) cache materializes ~100MB x 24 layers before attention reads
+it again — doubling cache traffic).  This kernel instead lets the BlockSpec
+index map slice the layer DIRECTLY out of the stacked cache using a
+scalar-prefetched layer index, so each step reads the cache exactly once.
+
+Replaces vLLM's paged-attention CUDA kernel in role
+(verl/third_party/vllm/vllm_v_0_6_3 engine).
+
+Cache layout: (L, B, H_kv, S, D) — (S, D) are the tiled dims.
+q: (B, H_kv, G, D) where G = query heads per kv head (GQA group).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _decode_kernel(
+    li_ref,  # scalar prefetch (1,) layer index (unused in body; drives index map)
+    kv_lens_ref,  # scalar prefetch (B,) valid lengths (incl. current token)
+    kv_starts_ref,  # scalar prefetch (B,) first valid index (left padding)
+    q_ref,  # VMEM (1, 1, G, D)
+    k_ref,  # VMEM (1, 1, 1, S, D) — this layer's keys for (b, h)
+    v_ref,  # VMEM (1, 1, 1, S, D)
+    o_ref,  # VMEM (1, 1, G, D)
+    *,
+    scale: float,
+):
+    b = pl.program_id(0)
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # (G, D)
+    k = k_ref[0, 0, 0].astype(jnp.float32)  # (S, D)
+    v = v_ref[0, 0, 0].astype(jnp.float32)
+    kv_len = kv_lens_ref[b]
+    kv_start = kv_starts_ref[b]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (G, S)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, k.shape[0]), 1)
+    mask = (pos < kv_len) & (pos >= kv_start)
+    s = jnp.where(mask, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) / jnp.maximum(denom, 1e-30)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def decode_attention(
+    q: jnp.ndarray,  # (B, 1, Hq, D) single query token
+    ck: jnp.ndarray,  # (L, B, Hkv, S, D) stacked key cache
+    cv: jnp.ndarray,  # (L, B, Hkv, S, D) stacked value cache
+    layer_idx: jnp.ndarray,  # scalar int
+    kv_lens: jnp.ndarray,  # (B,)
+    kv_starts: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (B, 1, Hq, D)."""
+    B, one, Hq, D = q.shape
+    L, _, Hkv, S, _ = ck.shape
+    G = Hq // Hkv
+    if scale is None:
+        scale = D**-0.5
+    if kv_starts is None:
+        kv_starts = jnp.zeros((B,), jnp.int32)
+
+    qg = q.reshape(B, Hkv, G, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, G, D), lambda b, h, li, kl, ks: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, S, D), lambda b, h, li, kl, ks: (li[0], b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, S, D), lambda b, h, li, kl, ks: (li[0], b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, G, D), lambda b, h, li, kl, ks: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=float(scale)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * S * D,
+            bytes_accessed=2 * B * Hkv * S * D * 2,
+            transcendentals=B * Hq * S,
+        ),
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        kv_lens.astype(jnp.int32),
+        kv_starts.astype(jnp.int32),
+        qg,
+        ck,
+        cv,
+    )
+    return out.reshape(B, 1, Hq, D)

@@ -37,6 +37,17 @@ def _vlog(msg: str) -> None:
     if _VERBOSE:
         print(f"[trainer {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
+
+def _sync(tree) -> None:
+    """True device sync: device_get a scalar of one leaf. (On the axon
+    platform block_until_ready returns before execution completes, so timing
+    must materialize data.)"""
+    import jax as _jax
+
+    leaves = [l for l in _jax.tree_util.tree_leaves(tree) if hasattr(l, "ravel")]
+    if leaves:
+        _jax.device_get(leaves[0].ravel()[:1])
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -308,7 +319,7 @@ class VLARFTGRPOTrainer:
                     "pixels": batch["pixel_values"],
                 }
                 hidden_unique = self._encode(self.params["vla"], enc_batch)
-                jax.block_until_ready(hidden_unique)
+                _sync(hidden_unique)
             _vlog("encode_context done")
             hidden = jnp.repeat(hidden_unique, n, axis=0)
 
@@ -327,7 +338,7 @@ class VLARFTGRPOTrainer:
                 out = self._rollout(
                     self.params["expert"], r_roll, hidden, noise_dict["noise"], proprio_rep
                 )
-                jax.block_until_ready(out)
+                _sync(out)
             _vlog("ac_rollout done")
             actor_batch.update(out)
             actor_batch["gt_actions"] = gt_rep
@@ -356,6 +367,7 @@ class VLARFTGRPOTrainer:
                         lambda ep, mb: self._logp(ep, mb["hidden"], mb["x_chain"], mb["proprio"]),
                         lp_batch, lp_size, self.ref_expert_params,
                     )
+                _sync(actor_batch["old_log_probs"])
 
             if cfg.trainer.use_ac_reward:
                 # action-space reward path (ray_trainer.py:1628-1646)
@@ -372,7 +384,7 @@ class VLARFTGRPOTrainer:
                         self.params["tokenizer"], batch["raw_pixel_values"],
                         actor_batch["predicted_actions"], gt_actions,
                     )
-                    jax.block_until_ready(wm_inputs["input_ids"])
+                    _sync(wm_inputs["input_ids"])
                 _vlog("process done")
 
                 # 5 --- WM rollout (+ optional gt branch), host-chunked: the
@@ -399,14 +411,16 @@ class VLARFTGRPOTrainer:
 
                     responses = run_wm(r_wm, "action_ids")
                     gt_responses = run_wm(r_wm_gt, "gt_action_ids") if use_gt_ac else None
-                    responses.block_until_ready()
+                    _sync(responses)
+                    if gt_responses is not None:
+                        _sync(gt_responses)
 
                 _vlog("wm_rollout done")
                 # 6 --- reward, micro-batched at host level (the reference
                 # uses tokenizer_micro_batch_size=4 / lpips bs=8 for the same
                 # reason — FSQ decode + VGG at 256^2 x 8 frames is huge)
                 with timer("adv", timing):
-                    rw_mb = cfg.processor.get("tokenizer_micro_batch_size", 4) or 4
+                    rw_mb = cfg.processor.get("tokenizer_micro_batch_size", 8) or 8
                     rw_size = rw_mb * self.n_devices
                     total_r = responses.shape[0]
                     rew_chunks, rm_acc = [], {}
@@ -429,6 +443,7 @@ class VLARFTGRPOTrainer:
                         for k, v in r_metrics.items():
                             rm_acc.setdefault(k, []).append(float(v))
                     reward_tensor = jnp.concatenate(rew_chunks, axis=0)
+                    _sync(reward_tensor)
                     metrics.update({k: float(np.mean(v)) for k, v in rm_acc.items()})
                     token_level_rewards = reward_tensor
 
