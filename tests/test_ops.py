@@ -179,3 +179,39 @@ def test_decode_attention_kernel_matches_xla():
             impl="xla",
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+def test_fused_decode_attention_matches_xla():
+    from vla_rft_tpu.ops.fused_decode_attention import fused_decode_attention
+
+    rng = np.random.default_rng(9)
+    L, B, Hkv, G, S, D = 2, 2, 2, 2, 64, 32
+    Hq = Hkv * G
+    ck = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32) * 0.3
+    cv = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32) * 0.3
+    k_new = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)), jnp.float32) * 0.3
+    v_new = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)), jnp.float32)
+    idx = 37  # history length; write position
+    kv_starts = jnp.asarray([0, 5])
+    li = 1
+
+    out, nck, ncv = fused_decode_attention(
+        q, k_new, v_new, ck, cv, jnp.asarray(li), jnp.asarray(idx), kv_starts,
+        block_k=16, interpret=True,
+    )
+    # reference: DUS then full attention with kv_lens = idx+1
+    k_t = jnp.swapaxes(k_new, 1, 2)[None]
+    v_t = jnp.swapaxes(v_new, 1, 2)[None]
+    rck = jax.lax.dynamic_update_slice(ck, k_t, (li, 0, 0, idx, 0))
+    rcv = jax.lax.dynamic_update_slice(cv, v_t, (li, 0, 0, idx, 0))
+    k_all = jnp.swapaxes(rck[li], 1, 2)
+    v_all = jnp.swapaxes(rcv[li], 1, 2)
+    ref = attention(
+        q, k_all, v_all, causal=False, kv_lens=jnp.full((B,), idx + 1),
+        kv_starts=kv_starts, impl="xla",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+    # cache write happened in the kernel too
+    np.testing.assert_allclose(np.asarray(nck), np.asarray(rck), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ncv), np.asarray(rcv), atol=1e-6)

@@ -161,12 +161,6 @@ class Attention(nn.Module):
             ck, cv = cache  # (L, B, nkv, S, hd) — (S, hd) tiled for the decode kernel
             li = jnp.asarray(layer_idx, jnp.int32)
             idx = jnp.asarray(cache_index, jnp.int32)
-            k_t = jnp.swapaxes(k, 1, 2).astype(ck.dtype)[None]  # (1, B, nkv, S, hd)
-            v_t = jnp.swapaxes(v, 1, 2).astype(cv.dtype)[None]
-            ck = jax.lax.dynamic_update_slice(ck, k_t, (li, 0, 0, idx, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v_t, (li, 0, 0, idx, 0))
-            new_cache = (ck, cv)
-            kv_lens_eff = jnp.minimum(kv_lens, cache_index + S)
 
             from vla_rft_tpu.ops.attention import _IMPL_OVERRIDE
 
@@ -174,9 +168,16 @@ class Attention(nn.Module):
             if impl == "auto" and _IMPL_OVERRIDE:
                 impl = _IMPL_OVERRIDE[-1]
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            k_t = jnp.swapaxes(k, 1, 2).astype(ck.dtype)[None]  # (1, B, nkv, S, hd)
+            v_t = jnp.swapaxes(v, 1, 2).astype(cv.dtype)[None]
+            ck = jax.lax.dynamic_update_slice(ck, k_t, (li, 0, 0, idx, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v_t, (li, 0, 0, idx, 0))
+            new_cache = (ck, cv)
+            kv_lens_eff = jnp.minimum(kv_lens, cache_index + S)
             if S == 1 and impl in ("auto", "pallas") and on_tpu:
-                # single-token decode: pallas kernel reads the stacked cache
-                # in place (no per-layer slice copy)
+                # single-token decode: pallas kernel slices the layer out of
+                # the stacked cache via its index map (head-grouped blocks —
+                # few large DMAs)
                 from vla_rft_tpu.ops.decode_attention import decode_attention
 
                 out = decode_attention(q, ck, cv, li, kv_lens_eff, kv_starts)
@@ -338,5 +339,6 @@ class Decoder(nn.Module):
     def init_cache(self, batch_size: int, max_len: int, dtype=None) -> Dict:
         cfg = self.cfg
         dtype = dtype or cfg.dtype
+        max_len = (max_len + 7) // 8 * 8  # tile-aligned for the decode kernel
         shape = (cfg.num_layers, batch_size, cfg.num_kv_heads, max_len, cfg.hd)
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))

@@ -30,33 +30,36 @@ def _decode_kernel(
     li_ref,  # scalar prefetch (1,) layer index (unused in body; drives index map)
     kv_lens_ref,  # scalar prefetch (B,) valid lengths (incl. current token)
     kv_starts_ref,  # scalar prefetch (B,) first valid index (left padding)
-    q_ref,  # VMEM (1, 1, G, D)
-    k_ref,  # VMEM (1, 1, 1, S, D) — this layer's keys for (b, h)
-    v_ref,  # VMEM (1, 1, 1, S, D)
-    o_ref,  # VMEM (1, 1, G, D)
+    q_ref,  # VMEM (1, Hkv, G, D)
+    k_ref,  # VMEM (1, 1, Hg, S, D) — this layer's keys, all heads of the group
+    v_ref,  # VMEM (1, 1, Hg, S, D)
+    o_ref,  # VMEM (1, Hkv, G, D)
     *,
     scale: float,
 ):
     b = pl.program_id(0)
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (G, D)
-    k = k_ref[0, 0, 0].astype(jnp.float32)  # (S, D)
-    v = v_ref[0, 0, 0].astype(jnp.float32)
     kv_len = kv_lens_ref[b]
     kv_start = kv_starts_ref[b]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (G, S)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, k.shape[0]), 1)
+    Hg = k_ref.shape[2]
+    S = k_ref.shape[3]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     mask = (pos < kv_len) & (pos >= kv_start)
-    s = jnp.where(mask, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) / jnp.maximum(denom, 1e-30)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+    for h in range(Hg):  # static unroll over the heads in this block
+        q = q_ref[0, h].astype(jnp.float32) * scale  # (G, D)
+        k = k_ref[0, 0, h].astype(jnp.float32)  # (S, D)
+        v = v_ref[0, 0, h].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (G, S)
+        s = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) / jnp.maximum(denom, 1e-30)
+        o_ref[0, h] = out.astype(o_ref.dtype)
 
 
 def decode_attention(
@@ -68,8 +71,13 @@ def decode_attention(
     kv_starts: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     interpret: bool = False,
+    max_block_bytes: int = 8 * 1024 * 1024,  # per-array block; VMEM limit raised below
 ) -> jnp.ndarray:
-    """Returns (B, 1, Hq, D)."""
+    """Returns (B, 1, Hq, D).
+
+    Grid is (B, head-groups) with as many heads per block as fit the VMEM
+    budget — few large DMAs instead of per-head small ones (DMA-latency
+    amortization is what makes this beat the XLA gather path)."""
     B, one, Hq, D = q.shape
     L, _, Hkv, S, _ = ck.shape
     G = Hq // Hkv
@@ -78,27 +86,33 @@ def decode_attention(
     if kv_starts is None:
         kv_starts = jnp.zeros((B,), jnp.int32)
 
+    per_head = S * D * jnp.dtype(ck.dtype).itemsize
+    hg = max(1, min(Hkv, max_block_bytes // max(per_head, 1)))
+    while Hkv % hg != 0:
+        hg -= 1
+    n_groups = Hkv // hg
+
     qg = q.reshape(B, Hkv, G, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, Hkv),
+        grid=(B, n_groups),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, G, D), lambda b, h, li, kl, ks: (b, h, 0, 0),
+                (1, hg, G, D), lambda b, g, li, kl, ks: (b, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 1, S, D), lambda b, h, li, kl, ks: (li[0], b, h, 0, 0),
+                (1, 1, hg, S, D), lambda b, g, li, kl, ks: (li[0], b, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 1, S, D), lambda b, h, li, kl, ks: (li[0], b, h, 0, 0),
+                (1, 1, hg, S, D), lambda b, g, li, kl, ks: (li[0], b, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, G, D), lambda b, h, li, kl, ks: (b, h, 0, 0),
+            (1, hg, G, D), lambda b, g, li, kl, ks: (b, g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -107,6 +121,9 @@ def decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         interpret=interpret,
+        # physical VMEM is ~128MB on v5e; the default 16MB scoped limit
+        # forces tiny head blocks -> latency-bound DMAs
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hq * S * D,
             bytes_accessed=2 * B * Hkv * S * D * 2,
