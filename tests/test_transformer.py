@@ -93,3 +93,27 @@ def test_wm_config_shapes():
     assert cfg.hidden_size == 1024 and cfg.num_layers == 24 and cfg.num_heads == 16
     cfg_q = TransformerConfig.qwen25_0_5b()
     assert cfg_q.num_kv_heads == 2 and cfg_q.tie_word_embeddings
+
+
+def test_int8_kv_cache_decode_close_to_full_forward():
+    """int8-quantized cache decode tracks the fp32 forward within quantization
+    tolerance (rollout-only approximation; logprob paths use full forwards)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, kv_cache_dtype="int8")
+    model = Decoder(cfg)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, cfg.vocab_size, (2, 12)))
+    params = model.init(jax.random.key(0), ids)
+    full_logits, _, _ = model.apply(params, ids)
+    cache = model.init_cache(2, 16, dtype=jnp.float32)
+    assert len(cache) == 4  # int8 values + scales
+    _, _, cache = model.apply(params, ids[:, :8], cache=cache, cache_index=0)
+    for t in range(8, 12):
+        step_logits, _, cache = model.apply(
+            params, ids[:, t : t + 1], cache=cache, cache_index=t
+        )
+        ref = np.asarray(full_logits[:, t])
+        got = np.asarray(step_logits[:, 0])
+        # logits agree to quantization noise; argmax should match
+        np.testing.assert_allclose(got, ref, atol=0.15, rtol=0.1)
+        np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))

@@ -222,6 +222,7 @@ def vla_rft_default_config() -> Config:
                 "rollout": {
                     "w_gt_ac": True,
                     "is_validate": True,
+                    "micro_batch_size": 16,
                     "name": "scan",  # reference: vLLM; here lax.scan decode
                     "temperature": 1.0,
                     "top_k": -1,

@@ -129,7 +129,11 @@ def build_models(config, preset: str = "libero") -> ModelBundle:
         num_flow_steps=config.actor_rollout_ref.rollout.get("num_flow_steps", 10),
     )
     wm_cfg = TransformerConfig.wm_llama(
-        vocab_size=config.world_model_rollout.world_model.vocab_size
+        vocab_size=config.world_model_rollout.world_model.vocab_size,
+        # int8 KV cache is supported (kv_cache_dtype='int8') but measured
+        # SLOWER on v5e: the per-position dequant is VPU-bound and costs more
+        # than the halved HBM reads save. bf16 cache + 16-seq chunks wins.
+        kv_cache_dtype="bf16",
     )
     # bf16 compute matches the reference's autocast (fsdp_workers.py:1732,
     # processor batch_forward autocast) and halves reward-stage time

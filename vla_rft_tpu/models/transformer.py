@@ -49,6 +49,10 @@ class TransformerConfig:
     param_dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
     remat: bool = False
+    # 'bf16' | 'int8' — int8 halves decode-attention HBM traffic (per-token
+    # per-head symmetric scales); logprob training paths use full forwards,
+    # so quantization only perturbs rollout sampling, not PPO math
+    kv_cache_dtype: str = "bf16"
 
     @property
     def hd(self) -> int:
@@ -158,7 +162,11 @@ class Attention(nn.Module):
 
         new_cache = None
         if cache is not None:
-            ck, cv = cache  # (L, B, nkv, S, hd) — (S, hd) tiled for the decode kernel
+            int8_cache = cfg.kv_cache_dtype == "int8"
+            if int8_cache:
+                ck, cv, sk, sv = cache  # int8 values + (L,B,nkv,S) f32 scales
+            else:
+                ck, cv = cache  # (L, B, nkv, S, hd) — (S, hd) tiled
             li = jnp.asarray(layer_idx, jnp.int32)
             idx = jnp.asarray(cache_index, jnp.int32)
 
@@ -168,11 +176,29 @@ class Attention(nn.Module):
             if impl == "auto" and _IMPL_OVERRIDE:
                 impl = _IMPL_OVERRIDE[-1]
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
-            k_t = jnp.swapaxes(k, 1, 2).astype(ck.dtype)[None]  # (1, B, nkv, S, hd)
-            v_t = jnp.swapaxes(v, 1, 2).astype(cv.dtype)[None]
-            ck = jax.lax.dynamic_update_slice(ck, k_t, (li, 0, 0, idx, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v_t, (li, 0, 0, idx, 0))
-            new_cache = (ck, cv)
+
+            k_t = jnp.swapaxes(k, 1, 2)[None]  # (1, B, nkv, S, hd)
+            v_t = jnp.swapaxes(v, 1, 2)[None]
+            if int8_cache:
+                def quant(x):
+                    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+                    scale = jnp.maximum(a / 127.0, 1e-8)
+                    qv = jnp.clip(
+                        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+                    ).astype(jnp.int8)
+                    return qv, scale.astype(jnp.float32)
+
+                kq, ks_new = quant(k_t)
+                vq, vs_new = quant(v_t)
+                ck = jax.lax.dynamic_update_slice(ck, kq, (li, 0, 0, idx, 0))
+                cv = jax.lax.dynamic_update_slice(cv, vq, (li, 0, 0, idx, 0))
+                sk = jax.lax.dynamic_update_slice(sk, ks_new, (li, 0, 0, idx))
+                sv = jax.lax.dynamic_update_slice(sv, vs_new, (li, 0, 0, idx))
+                new_cache = (ck, cv, sk, sv)
+            else:
+                ck = jax.lax.dynamic_update_slice(ck, k_t.astype(ck.dtype), (li, 0, 0, idx, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v_t.astype(cv.dtype), (li, 0, 0, idx, 0))
+                new_cache = (ck, cv)
             kv_lens_eff = jnp.minimum(kv_lens, cache_index + S)
             if S == 1 and impl in ("auto", "pallas") and on_tpu:
                 # single-token decode: pallas kernel slices the layer out of
@@ -180,7 +206,10 @@ class Attention(nn.Module):
                 # few large DMAs)
                 from vla_rft_tpu.ops.decode_attention import decode_attention
 
-                out = decode_attention(q, ck, cv, li, kv_lens_eff, kv_starts)
+                scales = (sk, sv) if int8_cache else None
+                out = decode_attention(
+                    q, ck, cv, li, kv_lens_eff, kv_starts, scales=scales
+                )
             else:
                 k_all = jnp.swapaxes(
                     jax.lax.dynamic_index_in_dim(ck, li, axis=0, keepdims=False), 1, 2
@@ -188,6 +217,15 @@ class Attention(nn.Module):
                 v_all = jnp.swapaxes(
                     jax.lax.dynamic_index_in_dim(cv, li, axis=0, keepdims=False), 1, 2
                 )
+                if int8_cache:
+                    sk_l = jnp.swapaxes(
+                        jax.lax.dynamic_index_in_dim(sk, li, axis=0, keepdims=False), 1, 2
+                    )  # (B, S, nkv)
+                    sv_l = jnp.swapaxes(
+                        jax.lax.dynamic_index_in_dim(sv, li, axis=0, keepdims=False), 1, 2
+                    )
+                    k_all = (k_all.astype(jnp.float32) * sk_l[..., None]).astype(cfg.dtype)
+                    v_all = (v_all.astype(jnp.float32) * sv_l[..., None]).astype(cfg.dtype)
                 q_offset = jnp.full((B,), cache_index, jnp.int32)
                 out = attention(
                     q, k_all, v_all, causal=causal, kv_lens=kv_lens_eff,
@@ -339,6 +377,14 @@ class Decoder(nn.Module):
     def init_cache(self, batch_size: int, max_len: int, dtype=None) -> Dict:
         cfg = self.cfg
         dtype = dtype or cfg.dtype
-        max_len = (max_len + 7) // 8 * 8  # tile-aligned for the decode kernel
+        max_len = (max_len + 127) // 128 * 128  # tile/lane-aligned
         shape = (cfg.num_layers, batch_size, cfg.num_kv_heads, max_len, cfg.hd)
+        if cfg.kv_cache_dtype == "int8":
+            sshape = shape[:-1]
+            return (
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape, jnp.int8),
+                jnp.ones(sshape, jnp.float32),
+                jnp.ones(sshape, jnp.float32),
+            )
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))

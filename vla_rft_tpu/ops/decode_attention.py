@@ -33,10 +33,14 @@ def _decode_kernel(
     q_ref,  # VMEM (1, Hkv, G, D)
     k_ref,  # VMEM (1, 1, Hg, S, D) — this layer's keys, all heads of the group
     v_ref,  # VMEM (1, 1, Hg, S, D)
-    o_ref,  # VMEM (1, Hkv, G, D)
-    *,
+    *rest,  # [sk_ref, sv_ref] when quantized, then o_ref
     scale: float,
+    quantized: bool,
 ):
+    if quantized:
+        sk_ref, sv_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     b = pl.program_id(0)
     kv_len = kv_lens_ref[b]
     kv_start = kv_starts_ref[b]
@@ -49,6 +53,9 @@ def _decode_kernel(
         q = q_ref[0, h].astype(jnp.float32) * scale  # (G, D)
         k = k_ref[0, 0, h].astype(jnp.float32)  # (S, D)
         v = v_ref[0, 0, h].astype(jnp.float32)
+        if quantized:
+            k = k * sk_ref[0, 0, h][:, None]  # per-position dequant
+            v = v * sv_ref[0, 0, h][:, None]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (G, S)
@@ -69,6 +76,7 @@ def decode_attention(
     layer_idx: jnp.ndarray,  # scalar int
     kv_lens: jnp.ndarray,  # (B,)
     kv_starts: Optional[jnp.ndarray] = None,
+    scales: Optional[tuple] = None,  # (sk, sv) (L,B,Hkv,S) f32 for int8 caches
     scale: Optional[float] = None,
     interpret: bool = False,
     max_block_bytes: int = 8 * 1024 * 1024,  # per-array block; VMEM limit raised below
@@ -91,6 +99,7 @@ def decode_attention(
     while Hkv % hg != 0:
         hg -= 1
     n_groups = Hkv // hg
+    quantized = scales is not None
 
     qg = q.reshape(B, Hkv, G, D)
 
@@ -110,14 +119,28 @@ def decode_attention(
                 (1, 1, hg, S, D), lambda b, g, li, kl, ks: (li[0], b, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ],
+        ]
+        + (
+            [
+                pl.BlockSpec(
+                    (1, 1, hg, S), lambda b, g, li, kl, ks: (li[0], b, g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, hg, S), lambda b, g, li, kl, ks: (li[0], b, g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            if quantized
+            else []
+        ),
         out_specs=pl.BlockSpec(
             (1, hg, G, D), lambda b, g, li, kl, ks: (b, g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, scale=float(scale)),
+        functools.partial(_decode_kernel, scale=float(scale), quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         interpret=interpret,
@@ -136,5 +159,6 @@ def decode_attention(
         qg,
         ck,
         cv,
+        *(scales if quantized else ()),
     )
     return out.reshape(B, 1, Hq, D)
