@@ -142,3 +142,10 @@ def test_optimizer_two_groups_and_skip():
         np.asarray(params["params"]["action_head"]["w"]),
     )
     assert np.isnan(float(gn2))
+
+
+def test_validate_runs(trainer):
+    trainer.config.trainer.val_iters = 1
+    m = trainer.validate(jax.random.key(5))
+    assert "val/reward" in m and np.isfinite(m["val/reward"])
+    assert "val/critic/recon_loss/mean" in m

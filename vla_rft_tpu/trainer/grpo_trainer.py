@@ -518,6 +518,60 @@ class VLARFTGRPOTrainer:
                     metrics_acc.setdefault(k, []).append(float(v))
         return reduce_metrics(metrics_acc)
 
+    # -------------------------------------------------------------- validate
+    def validate(self, rng: Optional[jax.Array] = None) -> Dict[str, float]:
+        """_validate parity (ray_trainer.py:1471-1524): rollout + WM + reward
+        without any update; returns val/* metrics averaged over val_iters."""
+        cfg = self.config
+        b = self.bundle
+        rng = rng if rng is not None else jax.random.key(self._seed + 99)
+        # reuse the jitted training stages (compiled for rollout.n tiles)
+        n = cfg.actor_rollout_ref.rollout.n
+        use_gt_ac = cfg.world_model_rollout.rollout.w_gt_ac and cfg.processor.use_img_gt_ac
+        scores, losses = [], {}
+        for it in range(cfg.trainer.val_iters):
+            batch_np = self.dataset.next_batch()
+            rng, r_noise, r_roll, r_wm, r_wm_gt = jax.random.split(rng, 5)
+            batch = shard_batch(self.mesh, {k: jnp.asarray(v) for k, v in batch_np.items()})
+            enc = {
+                "input_ids": batch["input_ids"],
+                "attention_mask": batch["attention_mask"],
+                "labels": batch["labels"],
+                "pixels": batch["pixel_values"],
+            }
+            hidden = jnp.repeat(self._encode(self.params["vla"], enc), n, axis=0)
+            gt_rep = jnp.repeat(batch["actions"], n, axis=0)
+            noise = self._sample_noisy(r_noise, gt_rep)["noise"]
+            proprio = jnp.repeat(batch["proprio"], n, axis=0)
+            out = self._rollout(self.params["expert"], r_roll, hidden, noise, proprio)
+            wm_inputs = self._process(
+                self.params["tokenizer"], batch["raw_pixel_values"],
+                out["predicted_actions"], batch["actions"],
+            )
+            prompt = wm_inputs["input_ids"][:, : b.wm_roll_cfg.prompt_length]
+            responses = self._wm_gen(self.params["wm"], r_wm, prompt, wm_inputs["action_ids"])
+            gt_responses = (
+                self._wm_gen(self.params["wm"], r_wm_gt, prompt, wm_inputs["gt_action_ids"])
+                if use_gt_ac
+                else None
+            )
+            rf = (
+                jnp.zeros((1,))
+                if use_gt_ac
+                else jnp.repeat(wm_inputs["pixels_w_ctx_unique"][:, 2:], n, axis=0)
+            )
+            reward, r_metrics = self._reward(
+                self.params["tokenizer"], self.params["lpips"], responses,
+                wm_inputs["ctx_tokens"], rf, gt_responses,
+            )
+            scores += np.asarray(reward.sum(-1), np.float32).tolist()
+            for k, v in r_metrics.items():
+                losses.setdefault(k, []).append(float(v))
+        return {
+            "val/reward": float(np.mean(scores)),
+            **{f"val/{k}": float(np.mean(v)) for k, v in losses.items()},
+        }
+
     # ------------------------------------------------------------------- fit
     def fit(self, logger: Optional[Tracking] = None):
         cfg = self.config
@@ -526,12 +580,20 @@ class VLARFTGRPOTrainer:
             cfg.trainer.logger, config=cfg.to_dict(),
         )
         self._load_checkpoint()
+        if cfg.trainer.get("val_before_train", False):
+            val_metrics = self.validate()
+            logger.log(val_metrics, self.global_steps)
+            if cfg.trainer.get("val_only", False):
+                return
         rng = jax.random.key(self._seed + 1)
+        test_freq = cfg.trainer.get("test_freq", -1)
         self.global_steps += 1
         while self.global_steps <= self.total_training_steps:
             batch = self.dataset.next_batch()
             rng, step_rng = jax.random.split(rng)
             metrics = self.training_step(batch, step_rng)
+            if test_freq > 0 and self.global_steps % test_freq == 0:
+                metrics.update(self.validate())
             logger.log(metrics, self.global_steps)
             if should_save(
                 self.global_steps, self.total_training_steps,
