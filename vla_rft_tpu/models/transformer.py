@@ -377,7 +377,10 @@ class Decoder(nn.Module):
     def init_cache(self, batch_size: int, max_len: int, dtype=None) -> Dict:
         cfg = self.cfg
         dtype = dtype or cfg.dtype
-        max_len = (max_len + 127) // 128 * 128  # tile/lane-aligned
+        # int8 scale arrays put S on the lane dim (needs 128); bf16 caches
+        # only need sublane tiling (8) — don't waste bandwidth on padding
+        align = 128 if cfg.kv_cache_dtype == "int8" else 8
+        max_len = (max_len + align - 1) // align * align
         shape = (cfg.num_layers, batch_size, cfg.num_kv_heads, max_len, cfg.hd)
         if cfg.kv_cache_dtype == "int8":
             sshape = shape[:-1]
