@@ -126,3 +126,47 @@ def test_ppo_text_trainer_step(estimator):
         assert "critic/vf_loss" in m
     after = np.asarray(jax.tree_util.tree_leaves(trainer.actor_params)[1])
     assert not np.allclose(before, after)
+
+
+def test_fire_sampling_runs():
+    from vla_rft_tpu.workers.llm_rollout import LLMRolloutConfig, generate_sequences
+    from vla_rft_tpu.models.transformer import Decoder
+
+    llm = Decoder(LLM_CFG)
+    params = llm.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32))
+    cfg = LLMRolloutConfig(
+        response_length=4, eos_token_id=2, pad_token_id=0,
+        use_fire_sampling=True, fire_temperature=3.0,
+    )
+    prompts = jnp.asarray([[3, 4, 5, 6]], jnp.int32)
+    out = generate_sequences(llm, params, jax.random.key(1), prompts, cfg)
+    assert out["responses"].shape == (1, 4)
+
+
+def test_reward_model_scoring():
+    from vla_rft_tpu.models.reward_model import SequenceRewardModel, compute_rm_score
+
+    rm = SequenceRewardModel(LLM_CFG)
+    ids = jnp.asarray(np.random.default_rng(0).integers(3, 30, (2, 12)), jnp.int32)
+    params = rm.init(jax.random.key(0), ids)
+    mask = jnp.ones((2, 12), jnp.int32)
+    mask = mask.at[1, 10:].set(0)  # row 1: response ends early
+    pos = jnp.cumsum(mask, axis=1) - 1
+    scores = compute_rm_score(rm, params, ids, mask, pos, response_length=6)
+    s = np.asarray(scores)
+    assert s.shape == (2, 6)
+    assert (s[0, :-1] == 0).all() and s[0, -1] != 0
+    # row 1 valid response length = 4 -> score at index 3
+    assert s[1, 3] != 0 and (np.delete(s[1], 3) == 0).all()
+
+
+def test_trajectory_tracker(tmp_path):
+    from vla_rft_tpu.utils.trajectory_tracker import TrajectoryTracker
+
+    tt = TrajectoryTracker(str(tmp_path))
+    x = {"a": np.arange(4.0), "b": np.ones((2, 2))}
+    tt.dump("rollout", 3, x)
+    back = tt.load("rollout", 3)
+    np.testing.assert_array_equal(back["a"], x["a"])
+    d = tt.diff("rollout", 3, {"a": x["a"] + 0.5})
+    assert abs(d["a"] - 0.5) < 1e-6

@@ -29,6 +29,11 @@ class LLMRolloutConfig:
     do_sample: bool = True
     eos_token_id: int = 2
     pad_token_id: int = 0
+    # FIRE sampling (https://arxiv.org/abs/2410.21236, the reference's
+    # fire_vllm_rollout): sample the FIRST token at a hotter temperature to
+    # diversify rollouts, then continue at `temperature`.
+    use_fire_sampling: bool = False
+    fire_temperature: float = 3.0
 
 
 def generate_sequences(
@@ -62,9 +67,14 @@ def generate_sequences(
     def step(carry, i):
         cache, last_logits, key = carry
         key, sub = jax.random.split(key)
-        tok = sample_token(
-            sub, last_logits, cfg.temperature, cfg.top_k, cfg.top_p, cfg.do_sample
-        )
+        if cfg.use_fire_sampling:
+            temp = jnp.where(i == 0, cfg.fire_temperature, cfg.temperature)
+            logits_t = last_logits.astype(jnp.float32) / temp[..., None]
+            tok = sample_token(sub, logits_t, 1.0, cfg.top_k, cfg.top_p, cfg.do_sample)
+        else:
+            tok = sample_token(
+                sub, last_logits, cfg.temperature, cfg.top_k, cfg.top_p, cfg.do_sample
+            )
         pos = (prompt_lens + i).astype(jnp.int32)[:, None]
         step_logits, _, cache = llm.apply(
             params, tok[:, None], positions=pos, cache=cache, cache_index=P + i,
