@@ -96,6 +96,23 @@ def normalize_bounds_q99(x: np.ndarray, stats: Dict) -> np.ndarray:
     return x.astype(np.float32)
 
 
+def augment_image(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Policy-image augmentation (datasets.py image_aug=True: random resized
+    crop + brightness/contrast jitter, numpy equivalents of the tf ops)."""
+    h, w = img.shape[:2]
+    # random resized crop (scale 0.9-1.0)
+    scale = rng.uniform(0.9, 1.0)
+    ch, cw = int(h * scale), int(w * scale)
+    y0 = rng.integers(0, h - ch + 1)
+    x0 = rng.integers(0, w - cw + 1)
+    img = img[y0 : y0 + ch, x0 : x0 + cw]
+    img = _resize(img, h)
+    # brightness / contrast jitter
+    x = img.astype(np.float32)
+    x = x * rng.uniform(0.9, 1.1) + rng.uniform(-0.1, 0.1) * 255.0
+    return np.clip(x, 0, 255).astype(img.dtype)
+
+
 def _resize(img: np.ndarray, size: int) -> np.ndarray:
     h, w = img.shape[:2]
     if (h, w) == (size, size):
@@ -208,7 +225,10 @@ class RLDSDataset:
 
         pix, raw, prop, acts = [], [], [], []
         for w, actions in metas:
-            img = _resize(w["frames"][0], cfg.policy_image_size).astype(np.float32) / 255.0
+            frame0 = w["frames"][0]
+            if self.image_aug:
+                frame0 = augment_image(frame0, self._rng)
+            img = _resize(frame0, cfg.policy_image_size).astype(np.float32) / 255.0
             pix.append(np.concatenate([img, img], axis=-1))  # siglip|dino stacks
             raw.append(
                 np.stack([_resize(f, cfg.wm_image_size) for f in w["frames"]]).astype(np.uint8)
