@@ -307,3 +307,152 @@ def find_checkpoint_file(dir_path: str, pattern: str) -> str:
             f"expected exactly one '{pattern}' checkpoint in {dir_path}, got {matches}"
         )
     return os.path.join(dir_path, matches[0])
+
+
+# ============================================================ visual tokenizer
+def _conv(sd, key):
+    """torch Conv2d OIHW -> flax HWIO."""
+    return {
+        "kernel": _np(sd[key + ".weight"]).transpose(2, 3, 1, 0),
+        "bias": _np(sd[key + ".bias"]),
+    }
+
+
+def _gn(sd, key):
+    return {"scale": _np(sd[key + ".weight"]), "bias": _np(sd[key + ".bias"])}
+
+
+def _lin(sd, key):
+    return {"kernel": _np(sd[key + ".weight"]).T, "bias": _np(sd[key + ".bias"])}
+
+
+def _resnet(sd, p):
+    out = {
+        "norm1": _gn(sd, p + "norm1"),
+        "conv1": _conv(sd, p + "conv1"),
+        "norm2": _gn(sd, p + "norm2"),
+        "conv2": _conv(sd, p + "conv2"),
+    }
+    if p + "conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv(sd, p + "conv_shortcut")
+    return out
+
+
+def _mid_block(sd, p):
+    attn = p + "attentions.0."
+    return {
+        "resnets_0": _resnet(sd, p + "resnets.0."),
+        "resnets_1": _resnet(sd, p + "resnets.1."),
+        "attentions_0": {
+            "group_norm": _gn(sd, attn + "group_norm"),
+            "to_q": _lin(sd, attn + "to_q"),
+            "to_k": _lin(sd, attn + "to_k"),
+            "to_v": _lin(sd, attn + "to_v"),
+            "to_out": _lin(sd, attn + "to_out.0"),
+        },
+    }
+
+
+def _encoder(sd, prefix, n_blocks, layers_per_block):
+    out = {"conv_in": _conv(sd, prefix + "conv_in"),
+           "conv_norm_out": _gn(sd, prefix + "conv_norm_out"),
+           "conv_out": _conv(sd, prefix + "conv_out"),
+           "mid_block": _mid_block(sd, prefix + "mid_block.")}
+    for i in range(n_blocks):
+        blk = {}
+        for j in range(layers_per_block):
+            blk[f"resnets_{j}"] = _resnet(sd, f"{prefix}down_blocks.{i}.resnets.{j}.")
+        ds = f"{prefix}down_blocks.{i}.downsamplers.0.conv"
+        if ds + ".weight" in sd:
+            blk["downsamplers_0"] = {"conv": _conv(sd, f"{prefix}down_blocks.{i}.downsamplers.0.conv")}
+        out[f"down_blocks_{i}"] = blk
+    return out
+
+
+def _decoder(sd, prefix, n_blocks, layers_per_block):
+    out = {"conv_in": _conv(sd, prefix + "conv_in"),
+           "conv_norm_out": _gn(sd, prefix + "conv_norm_out"),
+           "conv_out": _conv(sd, prefix + "conv_out"),
+           "mid_block": _mid_block(sd, prefix + "mid_block.")}
+    for i in range(n_blocks):
+        blk = {}
+        for j in range(layers_per_block + 1):  # decoders use layers+1 resnets
+            blk[f"resnets_{j}"] = _resnet(sd, f"{prefix}up_blocks.{i}.resnets.{j}.")
+        us = f"{prefix}up_blocks.{i}.upsamplers.0.conv"
+        if us + ".weight" in sd:
+            blk["upsamplers_0"] = {"conv": _conv(sd, f"{prefix}up_blocks.{i}.upsamplers.0.conv")}
+        out[f"up_blocks_{i}"] = blk
+    return out
+
+
+def _cross_att_blocks(sd, prefix, num_heads=4):
+    """conditional_vae CrossAttentionBlock: packed nn.MultiheadAttention
+    in_proj split into q/k/v DenseGeneral heads."""
+    out = {}
+    i = 0
+    while f"{prefix}cross_att_blocks.{i}.att.in_proj_weight" in sd:
+        p = f"{prefix}cross_att_blocks.{i}."
+        C = _np(sd[p + "att.in_proj_weight"]).shape[1]
+        hd = C // num_heads
+        in_w = _np(sd[p + "att.in_proj_weight"])  # (3C, C)
+        in_b = _np(sd[p + "att.in_proj_bias"])
+        qw, kw, vw = np.split(in_w, 3, 0)
+        qb, kb, vb = np.split(in_b, 3, 0)
+        out[f"cross_att_blocks_{i}"] = {
+            "q_norm": _gn(sd, p + "q_norm"),
+            "kv_norm": _gn(sd, p + "kv_norm"),
+            "q_pos_emb": _np(sd[p + "q_pos_emb"]),
+            "kv_pos_emb": _np(sd[p + "kv_pos_emb"]),
+            "q_proj": {"kernel": qw.T.reshape(C, num_heads, hd), "bias": qb.reshape(num_heads, hd)},
+            "k_proj": {"kernel": kw.T.reshape(C, num_heads, hd), "bias": kb.reshape(num_heads, hd)},
+            "v_proj": {"kernel": vw.T.reshape(C, num_heads, hd), "bias": vb.reshape(num_heads, hd)},
+            "out_proj": {
+                "kernel": _np(sd[p + "att.out_proj.weight"]).T.reshape(num_heads, hd, C),
+                "bias": _np(sd[p + "att.out_proj.bias"]),
+            },
+        }
+        i += 1
+    return out
+
+
+def convert_compressive_vq(sd: Dict[str, Any], n_blocks: int = 4, layers_per_block: int = 2) -> Dict:
+    """CompressiveVQModelFSQ torch checkpoint -> flax tokenizer params
+    (ivideogpt/ctx_tokenizer/compressive_vq_model.py module names)."""
+    params = {
+        "encoder": _encoder(sd, "encoder.", n_blocks, layers_per_block),
+        "decoder": _decoder(sd, "decoder.", n_blocks, layers_per_block),
+        "cond_encoder": {
+            **_encoder(sd, "cond_encoder.", n_blocks, layers_per_block),
+            **_cross_att_blocks(sd, "cond_encoder."),
+        },
+        "cond_decoder": {
+            **_decoder(sd, "cond_decoder.", n_blocks, layers_per_block),
+            **_cross_att_blocks(sd, "cond_decoder."),
+        },
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+        "quant_linear": _lin(sd, "quant_linear"),
+        "post_quant_linear": _lin(sd, "post_quant_linear"),
+    }
+    return {"params": params}
+
+
+def convert_lpips(vgg_sd: Dict[str, Any], lin_sd: Optional[Dict[str, Any]] = None) -> Dict:
+    """torchvision VGG16 features + lpips vgg.pth lin heads -> LPIPS params.
+
+    vgg_sd keys: features.{idx}.weight/bias for conv indices
+    (0,2,5,7,10,12,14,17,19,21,24,26,28); lin_sd keys: lin{i}.model.1.weight.
+    """
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    vgg = {}
+    for n, i in enumerate(conv_idx):
+        vgg[f"conv{n}"] = {
+            "kernel": _np(vgg_sd[f"features.{i}.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(vgg_sd[f"features.{i}.bias"]),
+        }
+    params = {"vgg": vgg}
+    if lin_sd is not None:
+        for i in range(5):
+            w = _np(lin_sd[f"lin{i}.model.1.weight"])  # (1, C, 1, 1)
+            params[f"lin{i}"] = {"kernel": w.transpose(2, 3, 1, 0)}
+    return {"params": params}
