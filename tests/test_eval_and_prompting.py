@@ -136,3 +136,22 @@ def test_predict_action_deterministic():
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     assert a1.shape == (B, 8, 7)
     assert np.isfinite(np.asarray(a1, np.float32)).all()
+
+
+def test_generations_logger_and_frame_grid(tmp_path):
+    from vla_rft_tpu.utils.generations_logger import (
+        ValidationGenerationsLogger,
+        save_frame_grid,
+    )
+
+    gl = ValidationGenerationsLogger(str(tmp_path / "gen"))
+    gl.log([("p1", "r1", 0.5), ("p2", "r2", 1.0)], step=7)
+    import json, os
+
+    recs = [json.loads(l) for l in open(tmp_path / "gen" / "step_7.jsonl")]
+    assert len(recs) == 2 and recs[1]["score"] == 1.0
+
+    real = np.random.default_rng(0).uniform(size=(3, 8, 8, 3))
+    pred = real * 0.5
+    path = save_frame_grid(real, pred, str(tmp_path / "grid.png"), reward=-0.25)
+    assert os.path.exists(path) and "reward-0.25" in path
