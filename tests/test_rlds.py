@@ -97,3 +97,26 @@ def test_stats_and_normalization():
     assert (np.abs(x) <= 1.0).all()
     frac_clipped = np.mean((np.abs(x) == 1.0).astype(np.float32))
     assert frac_clipped < 0.05  # only the tails clip
+
+
+def test_prefetching_loader():
+    from vla_rft_tpu.data.prefetch import PrefetchingLoader
+
+    class Counter:
+        def __init__(self):
+            self.i = 0
+
+        def next_batch(self):
+            self.i += 1
+            return {"i": self.i}
+
+        def state_dict(self):
+            return {"step": self.i}
+
+        def load_state_dict(self, s):
+            self.i = s["step"]
+
+    loader = PrefetchingLoader(Counter(), buffer_size=2)
+    got = [loader.next_batch()["i"] for _ in range(5)]
+    assert got == sorted(got) and len(set(got)) == 5
+    loader.close()

@@ -54,7 +54,7 @@ import numpy as np
 
 from vla_rft_tpu.config import Config
 from vla_rft_tpu.data.synthetic import SyntheticVLAConfig, SyntheticVLADataset, default_action_ranges
-from vla_rft_tpu.models.factory import ModelBundle, build_models, init_params
+from vla_rft_tpu.models.factory import ModelBundle, build_models
 from vla_rft_tpu.parallel.mesh import MeshConfig, make_mesh, shard_batch, shard_params_fsdp
 from vla_rft_tpu.trainer import core_algos
 from vla_rft_tpu.trainer.metric_utils import compute_data_metrics, compute_throughput_metrics
@@ -279,10 +279,6 @@ class VLARFTGRPOTrainer:
         self._update = update_fn
 
     # -------------------------------------------------------------- utilities
-    @staticmethod
-    def _repeat_n(tree: Dict[str, jnp.ndarray], n: int) -> Dict[str, jnp.ndarray]:
-        return {k: jnp.repeat(v, n, axis=0) for k, v in tree.items()}
-
     def _chunked(self, fn, batch: Dict[str, jnp.ndarray], size: int, *args):
         """Host-level micro-batching for memory-bound stages."""
         B = next(iter(batch.values())).shape[0]
