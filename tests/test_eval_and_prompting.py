@@ -155,3 +155,14 @@ def test_generations_logger_and_frame_grid(tmp_path):
     pred = real * 0.5
     path = save_frame_grid(real, pred, str(tmp_path / "grid.png"), reward=-0.25)
     assert os.path.exists(path) and "reward-0.25" in path
+
+
+def test_letterbox():
+    from vla_rft_tpu.eval.libero_eval import letterbox_image
+
+    img = np.ones((10, 20, 3), np.uint8) * 200
+    out = letterbox_image(img, 16)
+    assert out.shape == (16, 16, 3)
+    # top/bottom rows come from gray padding
+    assert (out[0] == 127).all() and (out[-1] == 127).all()
+    assert (out[8] == 200).all()

@@ -183,3 +183,19 @@ def run_suite_eval(
         "success_rate": success / max(total, 1),
         **{f"task_{k}/success": v for k, v in per_task.items()},
     }
+
+
+def letterbox_image(img: np.ndarray, size: int, fill: int = 127) -> np.ndarray:
+    """PrismaticImageProcessor 'letterbox' resize strategy
+    (processing_prismatic.py:38-90): pad to square with mid-gray, then resize.
+    LIBERO renders square images so this is a no-op there; kept for parity
+    with non-square cameras."""
+    h, w = img.shape[:2]
+    if h != w:
+        side = max(h, w)
+        canvas = np.full((side, side, img.shape[2]), fill, img.dtype)
+        y0 = (side - h) // 2
+        x0 = (side - w) // 2
+        canvas[y0 : y0 + h, x0 : x0 + w] = img
+        img = canvas
+    return resize_image_for_policy(img, size)
