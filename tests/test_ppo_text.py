@@ -170,3 +170,19 @@ def test_trajectory_tracker(tmp_path):
     np.testing.assert_array_equal(back["a"], x["a"])
     d = tt.diff("rollout", 3, {"a": x["a"] + 0.5})
     assert abs(d["a"] - 0.5) < 1e-6
+
+
+def test_dapo_overlong_penalty():
+    from vla_rft_tpu.workers.reward_manager import DAPORewardManager
+
+    rm = DAPORewardManager(
+        ToyTokenizer(), compute_score=lambda *a: 1.0,
+        max_response_length=10, overlong_buffer=4, penalty_factor=1.0,
+    )
+    resp = np.zeros((2, 10), np.int64)
+    mask = np.zeros((2, 10), np.int64)
+    mask[0, :5] = 1   # short: within budget, no penalty
+    mask[1, :9] = 1   # 3 tokens into the overlong buffer
+    r = rm(resp, mask, ["toy", "toy"], ["x", "x"])
+    assert abs(r[0, 4] - 1.0) < 1e-6
+    assert abs(r[1, 8] - (1.0 - 3 / 4)) < 1e-6

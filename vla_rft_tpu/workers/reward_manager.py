@@ -46,6 +46,35 @@ class NaiveRewardManager:
         return reward
 
 
+class DAPORewardManager(NaiveRewardManager):
+    """DAPO-style manager (verl/workers/reward_manager/dapo.py): soft
+    overlong punishment — responses within `overlong_buffer` tokens of the
+    max length get a linearly increasing penalty up to `penalty_factor`."""
+
+    def __init__(self, tokenizer, compute_score=None, num_examine: int = 0,
+                 max_response_length: int = 1024, overlong_buffer: int = 128,
+                 penalty_factor: float = 1.0):
+        super().__init__(tokenizer, compute_score, num_examine)
+        self.max_response_length = max_response_length
+        self.overlong_buffer = overlong_buffer
+        self.penalty_factor = penalty_factor
+
+    def __call__(self, responses, response_mask, data_sources, ground_truths,
+                 extra_infos=None):
+        reward = super().__call__(
+            responses, response_mask, data_sources, ground_truths, extra_infos
+        )
+        lengths = response_mask.sum(-1)
+        expected = self.max_response_length - self.overlong_buffer
+        overlong = np.clip(lengths - expected, 0, None).astype(np.float32)
+        penalty = -overlong / max(self.overlong_buffer, 1) * self.penalty_factor
+        for i in range(reward.shape[0]):
+            n = int(lengths[i])
+            if n > 0 and penalty[i] < 0:
+                reward[i, n - 1] += penalty[i]
+        return reward
+
+
 class BatchRewardManager(NaiveRewardManager):
-    """prime/dapo variants reduce to the same contract here; penalty knobs
-    can be layered via compute_score closures."""
+    """prime variant reduces to the same contract here; process-RM scores can
+    be layered via compute_score closures or models/reward_model.py."""
