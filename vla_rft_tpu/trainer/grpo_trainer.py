@@ -607,7 +607,15 @@ class VLARFTGRPOTrainer:
             "step": np.asarray(self.global_steps),
             "dataloader": {k: np.asarray(v) for k, v in self.dataset.state_dict().items()},
         }
-        self.ckpt.save(self.global_steps, state)
+        path = self.ckpt.save(self.global_steps, state)
+        # dataset statistics ride along for unnormalization at eval time
+        # (ray_trainer.py:682-691 saves dataset_statistics.json the same way)
+        if hasattr(self.dataset, "save_dataset_statistics"):
+            import os
+
+            self.dataset.save_dataset_statistics(
+                os.path.join(path, "dataset_statistics.json")
+            )
 
     def _load_checkpoint(self):
         if self.config.trainer.resume_mode == "disable":
