@@ -149,3 +149,14 @@ def test_validate_runs(trainer):
     m = trainer.validate(jax.random.key(5))
     assert "val/reward" in m and np.isfinite(m["val/reward"])
     assert "val/critic/recon_loss/mean" in m
+
+
+def test_validate_dumps_frame_grid(trainer, tmp_path):
+    trainer.config.trainer.val_iters = 1
+    trainer.config.trainer.img_save_dir = str(tmp_path / "imgs")
+    m = trainer.validate(jax.random.key(6))
+    import glob
+
+    files = glob.glob(str(tmp_path / "imgs" / "*val_frames*"))
+    assert files, "no frame grid dumped"
+    trainer.config.trainer.img_save_dir = None

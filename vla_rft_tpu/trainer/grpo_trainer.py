@@ -278,6 +278,15 @@ class VLARFTGRPOTrainer:
         self._advantage = advantage_fn
         self._update = update_fn
 
+        @jax.jit
+        def detokenize_fn(tok_params, ctx_tokens, vis_tokens):
+            ctx_raw = ctx_tokens - b.proc_cfg.visual_token_num
+            return b.tokenizer.apply(
+                tok_params, ctx_raw, vis_tokens, method=b.tokenizer.detokenize
+            )
+
+        self._detokenize = detokenize_fn
+
     # -------------------------------------------------------------- utilities
     def _chunked(self, fn, batch: Dict[str, jnp.ndarray], size: int, *args):
         """Host-level micro-batching for memory-bound stages."""
@@ -563,6 +572,39 @@ class VLARFTGRPOTrainer:
             scores += np.asarray(reward.sum(-1), np.float32).tolist()
             for k, v in r_metrics.items():
                 losses.setdefault(k, []).append(float(v))
+            # predicted-vs-real frame grid dumps (plot_img parity,
+            # ray_trainer.py:1206-1214 / save_pred in msp_reward_fn)
+            img_dir = cfg.trainer.get("img_save_dir", None)
+            if img_dir and it == 0:
+                from vla_rft_tpu.utils.generations_logger import save_frame_grid
+                from vla_rft_tpu.workers.processor import split_response_tokens
+
+                vis = split_response_tokens(
+                    b.proc_cfg, responses[:1], b.reward_cfg.num_frames
+                )
+                pred_px = np.asarray(
+                    self._detokenize(
+                        self.params["tokenizer"], wm_inputs["ctx_tokens"][:1], vis
+                    ),
+                    np.float32,
+                )[0, 1:]
+                if use_gt_ac:
+                    gt_vis = split_response_tokens(
+                        b.proc_cfg, gt_responses[:1], b.reward_cfg.num_frames
+                    )
+                    real_px = np.asarray(
+                        self._detokenize(
+                            self.params["tokenizer"], wm_inputs["ctx_tokens"][:1], gt_vis
+                        ),
+                        np.float32,
+                    )[0, 1:]
+                else:
+                    real_px = np.asarray(rf, np.float32)[0]
+                save_frame_grid(
+                    real_px, pred_px,
+                    f"{img_dir}/{self.global_steps}_val_frames.png",
+                    reward=float(reward[0].sum()),
+                )
         return {
             "val/reward": float(np.mean(scores)),
             **{f"val/{k}": float(np.mean(v)) for k, v in losses.items()},
