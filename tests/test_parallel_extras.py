@@ -78,3 +78,46 @@ def test_flops_counter():
     # ~0.4B params -> ~0.86 GFLOP/token forward+... sanity range
     per_tok = fc.flops_per_token(1663)
     assert 5e8 < per_tok < 5e9
+
+
+def test_decoder_ulysses_sp_matches_plain():
+    """Full-decoder SP parity (reference: tests/model/test_transformers_ulysses.py):
+    sequence-sharded forward under shard_map == replicated forward."""
+    import dataclasses
+    from jax.sharding import PartitionSpec as P
+    from vla_rft_tpu.models.transformer import Decoder, TransformerConfig
+
+    mesh = make_mesh(MeshConfig(dp=2, sp=4))
+    base = TransformerConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=8, num_kv_heads=8, dtype=jnp.float32, param_dtype=jnp.float32,
+        attn_impl="xla",
+    )
+    model = Decoder(base)
+    B, S = 2, 16
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (B, S)))
+    params = model.init(jax.random.key(0), ids)
+    ref_logits, _, _ = model.apply(params, ids)
+
+    sp_cfg = dataclasses.replace(base, ulysses_axis="sp")
+    sp_model = Decoder(sp_cfg)
+    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    kv_lens = jnp.full((B,), S, jnp.int32)
+
+    def fwd(params, ids, positions, kv_lens):
+        logits, _, _ = sp_model.apply(
+            params, ids, positions=positions, kv_lens=kv_lens
+        )
+        return logits
+
+    sharded = jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(P(), P(None, "sp"), P(None, "sp"), P()),
+        out_specs=P(None, "sp"),
+        check_vma=False,
+    )
+    logits = sharded(params, ids, positions, kv_lens)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), atol=3e-5, rtol=1e-4
+    )

@@ -53,6 +53,10 @@ class TransformerConfig:
     # per-head symmetric scales); logprob training paths use full forwards,
     # so quantization only perturbs rollout sampling, not PPO math
     kv_cache_dtype: str = "bf16"
+    # Ulysses sequence parallelism: name of the mesh axis the sequence dim is
+    # sharded over. Only used under shard_map (full forward, no cache); the
+    # all-to-all swaps seq<->heads around attention (ulysses.py parity).
+    ulysses_axis: Optional[str] = None
 
     @property
     def hd(self) -> int:
@@ -232,6 +236,26 @@ class Attention(nn.Module):
                     q_offset=q_offset, kv_starts=kv_starts,
                     impl="xla" if S < 32 else cfg.attn_impl,
                 )
+        elif cfg.ulysses_axis is not None:
+            # sequence-parallel full forward: all-to-all seq<->heads around
+            # attention; q/k/v carry GLOBAL positions (rope applied before)
+            from vla_rft_tpu.parallel.ulysses import (
+                all_to_all_head2seq,
+                all_to_all_seq2head,
+                repeat_kv_heads,
+            )
+
+            sp = jax.lax.psum(1, cfg.ulysses_axis)
+            k_sp = repeat_kv_heads(k, sp)
+            v_sp = repeat_kv_heads(v, sp)
+            qh = all_to_all_seq2head(q, cfg.ulysses_axis)
+            kh = all_to_all_seq2head(k_sp, cfg.ulysses_axis)
+            vh = all_to_all_seq2head(v_sp, cfg.ulysses_axis)
+            out = attention(
+                qh, kh, vh, causal=causal, kv_lens=kv_lens, kv_starts=kv_starts,
+                impl=cfg.attn_impl,
+            )
+            out = all_to_all_head2seq(out, cfg.ulysses_axis)
         else:
             out = attention(
                 q, k, v, causal=causal, kv_lens=kv_lens, kv_starts=kv_starts,
