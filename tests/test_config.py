@@ -37,3 +37,21 @@ def test_get_set_path_and_copy():
     c2 = c.copy()
     c2.a.b = 99
     assert c.a.b == 1
+
+
+def test_validate_config():
+    from vla_rft_tpu.trainer.config_check import assert_valid_config, validate_config
+
+    c = vla_rft_default_config()
+    c.actor_rollout_ref.actor.ppo_mini_batch_size = 16
+    assert validate_config(c, n_devices=1) == []
+    assert_valid_config(c)
+
+    bad = vla_rft_default_config()
+    bad.data.max_response_length = 100  # breaks the ctx_msp layout
+    problems = validate_config(bad)
+    assert any("max_response_length" in p for p in problems)
+
+    bad2 = vla_rft_default_config()
+    bad2.actor_rollout_ref.actor.ppo_mini_batch_size = 5  # 256 % 5 != 0
+    assert any("mini" in p.lower() or "divide" in p for p in validate_config(bad2))
