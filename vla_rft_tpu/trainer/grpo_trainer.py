@@ -109,6 +109,13 @@ class VLARFTGRPOTrainer:
         self.total_training_steps = config.trainer.total_training_steps
         self._seed = seed if seed is not None else config.trainer.get("seed", 0)
 
+        # cross-field validation (reference _validate_config); warn-only so
+        # deliberately non-standard test configs still run
+        from vla_rft_tpu.trainer.config_check import validate_config
+
+        for problem in validate_config(config, self.n_devices):
+            print(f"[config] WARNING: {problem}")
+
         self.tx = make_optimizer(
             config.actor_rollout_ref.actor.optim, self.total_training_steps
         )
