@@ -75,6 +75,9 @@ def main():
     frames = n_seqs * 8
     fps_chip = frames / step_s / n_devices
 
+    wm_t = float(metrics.get("timing_s/wm_rollout", 0.0))
+    # the gt-action branch doubles generated frames in the wm stage
+    wm_frames = frames * 2 if trainer.config.world_model_rollout.rollout.w_gt_ac else frames
     out = {
         "metric": "rft_frames_per_sec_per_chip",
         "value": round(fps_chip, 2),
@@ -84,6 +87,9 @@ def main():
             "step_time_s": round(step_s, 2),
             "compile_time_s": round(compile_s, 1),
             "sequences_per_step": n_seqs,
+            "wm_rollout_frames_per_sec_per_chip": (
+                round(wm_frames / wm_t / n_devices, 2) if wm_t > 0 else None
+            ),
             "n_devices": n_devices,
             "timing_s": {
                 k.split("/")[-1]: round(float(v), 2)
