@@ -215,3 +215,29 @@ def test_fused_decode_attention_matches_xla():
     # cache write happened in the kernel too
     np.testing.assert_allclose(np.asarray(nck), np.asarray(rck), atol=1e-6)
     np.testing.assert_allclose(np.asarray(ncv), np.asarray(rcv), atol=1e-6)
+
+
+def test_decode_attention_int8_close_to_f32():
+    from vla_rft_tpu.ops.decode_attention import decode_attention
+
+    rng = np.random.default_rng(11)
+    L, B, Hkv, G, S, D = 2, 2, 2, 1, 64, 32
+    kf = rng.normal(size=(L, B, Hkv, S, D)).astype(np.float32) * 0.3
+    vf = rng.normal(size=(L, B, Hkv, S, D)).astype(np.float32)
+    # per-position symmetric int8 quantization (matches Attention.quant)
+    sk = np.maximum(np.abs(kf).max(-1) / 127.0, 1e-8)
+    sv = np.maximum(np.abs(vf).max(-1) / 127.0, 1e-8)
+    ki = np.clip(np.round(kf / sk[..., None]), -127, 127).astype(np.int8)
+    vi = np.clip(np.round(vf / sv[..., None]), -127, 127).astype(np.int8)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hkv * G, D)), jnp.float32) * 0.3
+    kv_lens = jnp.asarray([40, 64])
+    out = decode_attention(
+        q, jnp.asarray(ki), jnp.asarray(vi), jnp.asarray(1), kv_lens,
+        scales=(jnp.asarray(sk, jnp.float32), jnp.asarray(sv, jnp.float32)),
+        interpret=True,
+    )
+    # f32 reference on the DEQUANTIZED cache
+    k_all = jnp.swapaxes(jnp.asarray(ki[1] * sk[1][..., None], jnp.float32), 1, 2)
+    v_all = jnp.swapaxes(jnp.asarray(vi[1] * sv[1][..., None], jnp.float32), 1, 2)
+    ref = attention(q, k_all, v_all, causal=False, kv_lens=kv_lens, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.03, rtol=0.03)

@@ -203,7 +203,7 @@ def vla_rft_default_config() -> Config:
                 "ref": {"log_prob_micro_batch_size_per_gpu": 8},
                 "rollout": {
                     "name": "flow",  # reference: 'hf' (HFRollout); here a scan rollout
-                    "micro_batch_size": 16,
+                    "micro_batch_size": 32,
                     "num_patches": 256,
                     "num_tokens": 64,
                     "temperature": 1.0,
@@ -222,7 +222,7 @@ def vla_rft_default_config() -> Config:
                 "rollout": {
                     "w_gt_ac": True,
                     "is_validate": True,
-                    "micro_batch_size": 16,
+                    "micro_batch_size": 32,
                     "name": "scan",  # reference: vLLM; here lax.scan decode
                     "temperature": 1.0,
                     "top_k": -1,

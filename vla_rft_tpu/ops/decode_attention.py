@@ -50,12 +50,37 @@ def _decode_kernel(
     mask = (pos < kv_len) & (pos >= kv_start)
 
     for h in range(Hg):  # static unroll over the heads in this block
+        if quantized:
+            # all (S, D)-sized math stays int8 on the MXU; scales fold into
+            # the small (G, S)/(G,) tensors:
+            #   s[g,s] = (q_i8 . k_i8[s]) * qs[g] * sk[s]
+            #   out[g] = (p_i8 @ v_i8) * ps[g]  with p' = softmax * sv folded
+            q = q_ref[0, h].astype(jnp.float32) * scale  # (G, D)
+            qs = jnp.maximum(jnp.max(jnp.abs(q), axis=-1), 1e-8) / 127.0  # (G,)
+            q_i8 = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
+            s_i32 = jax.lax.dot_general(
+                q_i8, k_ref[0, 0, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (G, S)
+            sk = sk_ref[0, 0, h]  # (S,)
+            s = s_i32.astype(jnp.float32) * qs[:, None] * sk[None, :]
+            s = jnp.where(mask, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            pv = p * sv_ref[0, 0, h][None, :]  # fold per-position v scales
+            ps = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-30) / 127.0
+            p_i8 = jnp.clip(jnp.round(pv / ps), -127, 127).astype(jnp.int8)
+            out_i32 = jax.lax.dot_general(
+                p_i8, v_ref[0, 0, h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (G, D)
+            out = out_i32.astype(jnp.float32) * ps / jnp.maximum(denom, 1e-30)
+            o_ref[0, h] = out.astype(o_ref.dtype)
+            continue
         q = q_ref[0, h].astype(jnp.float32) * scale  # (G, D)
         k = k_ref[0, 0, h].astype(jnp.float32)  # (S, D)
         v = v_ref[0, 0, h].astype(jnp.float32)
-        if quantized:
-            k = k * sk_ref[0, 0, h][:, None]  # per-position dequant
-            v = v * sv_ref[0, 0, h][:, None]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (G, S)
