@@ -186,3 +186,44 @@ def test_dapo_overlong_penalty():
     r = rm(resp, mask, ["toy", "toy"], ["x", "x"])
     assert abs(r[0, 4] - 1.0) < 1e-6
     assert abs(r[1, 8] - (1.0 - 3 / 4)) < 1e-6
+
+
+def test_math_dapo_scorer():
+    from vla_rft_tpu.utils.reward_score import default_compute_score, has_scorer, math_dapo
+
+    assert math_dapo.compute_score("thus \\boxed{1{,}234}".replace("{,}", ","), "1234") == 1.0
+    assert math_dapo.compute_score("\\boxed{\\frac{1}{2}} then \\boxed{3}", "3") == 1.0
+    assert math_dapo.compute_score("Answer: 42", "42") == 1.0
+    assert math_dapo.compute_score("\\boxed{41}", "42") == -1.0
+    assert math_dapo.compute_score("no answer at all", "42") == -1.0
+    assert has_scorer("math_dapo") and has_scorer("openai/gsm8k") and not has_scorer("toy")
+    assert default_compute_score("math_dapo", "\\boxed{7}", "7") == 1.0
+
+
+def test_ppo_model_based_reward_model():
+    """RM-enabled PPO: sources without a rule scorer are scored by the
+    SequenceRewardModel; rule sources keep rule scores (fsdp_workers.py
+    RewardModelWorker + naive manager rm_scores fallback)."""
+    c = vla_rft_default_config()
+    c.data.train_batch_size = 2
+    c.actor_rollout_ref.rollout.n = 2
+    c.actor_rollout_ref.rollout.response_length = 6
+    c.actor_rollout_ref.actor.ppo_mini_batch_size = 4
+    c.algorithm.adv_estimator = "grpo"
+    c.processor.eos_token_id = 2
+    c.processor.pad_token_id = 0
+    c.reward_model.enable = True
+    c.mesh = {"dp": 1, "fsdp": 1, "tp": 1, "sp": 1}
+    mesh = make_mesh(MeshConfig(dp=1), devices=jax.devices()[:1])
+    trainer = PPOTrainer(
+        c, LLM_CFG, ToyTokenizer(), ToyDataset(), mesh=mesh,
+        reward_manager=NaiveRewardManager(ToyTokenizer(), compute_score=lambda *a: 5.0),
+    )
+    assert trainer.rm is not None
+    batch = trainer.dataset.sample_batch(2)
+    batch["data_sources"] = ["toy", "openai/gsm8k"]  # no scorer / rule scorer
+    m = trainer.training_step(batch, jax.random.key(0))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # rule rows scored 5.0 each (2 rollouts), RM rows are model outputs (!= 5)
+    assert m["critic/score/mean"] != pytest.approx(5.0)

@@ -41,12 +41,21 @@ class PPOTrainer:
         critic_cfg: Optional[TransformerConfig] = None,
         mesh=None,
         reward_manager: Optional[NaiveRewardManager] = None,
+        rm_cfg: Optional[TransformerConfig] = None,
         seed: int = 0,
     ):
         self.config = config
         self.llm = Decoder(llm_cfg)
         self.use_critic = config.algorithm.adv_estimator == "gae"
         self.critic = CriticModel(critic_cfg or llm_cfg) if self.use_critic else None
+        # model-based RM (RewardModelWorker, verl/workers/fsdp_workers.py:1417):
+        # scores samples whose data source has no rule scorer; rule scorers
+        # keep precedence (reward_manager/naive.py rm_scores fallback)
+        self.rm = None
+        if config.get_path("reward_model.enable", False):
+            from vla_rft_tpu.models.reward_model import SequenceRewardModel
+
+            self.rm = SequenceRewardModel(rm_cfg or llm_cfg)
         self.tokenizer = tokenizer
         self.dataset = dataset
         self.mesh = mesh or make_mesh(MeshConfig(**config.mesh.to_dict()))
@@ -75,6 +84,10 @@ class PPOTrainer:
             optax.adamw(optim.get("lr", 1e-6), weight_decay=optim.get("weight_decay", 0.01)),
         )
         self.actor_opt_state = self.actor_tx.init(self.actor_params)
+        if self.rm is not None:
+            self.rm_params = shard_params_fsdp(
+                self.mesh, self.rm.init(jax.random.key(seed + 2), dummy)
+            )
         if self.use_critic:
             self.critic_params = shard_params_fsdp(
                 self.mesh, self.critic.init(jax.random.key(seed + 1), dummy)
@@ -103,6 +116,14 @@ class PPOTrainer:
                 self.llm, params, input_ids, attention_mask, position_ids, R, temp
             )
             return lp
+
+        @jax.jit
+        def rm_fn(params, input_ids, attention_mask, position_ids):
+            from vla_rft_tpu.models.reward_model import compute_rm_score
+
+            return compute_rm_score(
+                self.rm, params, input_ids, attention_mask, position_ids, R
+            )
 
         @jax.jit
         def values_fn(params, input_ids, attention_mask, position_ids):
@@ -170,6 +191,7 @@ class PPOTrainer:
 
         self._gen = gen_fn
         self._logp = logp_fn
+        self._rm_score = rm_fn
         self._values = values_fn
         self._actor_update = actor_update_fn
         self._critic_update = critic_update_fn
@@ -210,10 +232,29 @@ class PPOTrainer:
             with timer("reward", timing):
                 sources = [s for s in batch["data_sources"] for _ in range(n)]
                 gts = [g for g in batch["ground_truths"] for _ in range(n)]
-                scores = self.reward_manager(
-                    np.asarray(gen["responses"]), np.asarray(gen["response_mask"]),
-                    sources, gts,
-                )
+                resp = np.asarray(gen["responses"])
+                resp_mask_np = np.asarray(gen["response_mask"])
+                if self.rm is not None:
+                    # model scores everything; rule scorers override rows
+                    # whose data source has one (verl naive manager semantics)
+                    from vla_rft_tpu.utils.reward_score import has_scorer
+
+                    scores = np.array(
+                        self._rm_score(
+                            self.rm_params, gen["input_ids"],
+                            gen["attention_mask"], gen["position_ids"],
+                        )
+                    )
+                    rule_rows = [i for i, s in enumerate(sources) if has_scorer(s)]
+                    if rule_rows:
+                        idx = np.asarray(rule_rows)
+                        scores[idx] = self.reward_manager(
+                            resp[idx], resp_mask_np[idx],
+                            [sources[i] for i in rule_rows],
+                            [gts[i] for i in rule_rows],
+                        )
+                else:
+                    scores = self.reward_manager(resp, resp_mask_np, sources, gts)
                 token_level_scores = jnp.asarray(scores)
                 if algo.use_kl_in_reward:
                     kld = core_algos.kl_penalty(old_logp, ref_logp, algo.kl_penalty)

@@ -1,17 +1,33 @@
 """Rule-based reward scorers (verl/utils/reward_score/)."""
 from __future__ import annotations
 
+import importlib
 from typing import Optional
 
+# data_source -> scorer module name (verl/utils/reward_score/__init__.py
+# dispatch table, trimmed to the text-RL sources the retained recipes use)
+_REGISTRY = {
+    "openai/gsm8k": "gsm8k",
+    "gsm8k": "gsm8k",
+    "lighteval/MATH": "math",
+    "math": "math",
+    "DigitalLearningGmbH/MATH-lighteval": "math",
+    "math_dapo": "math_dapo",
+    "aime2024": "math_dapo",
+    "math_verify": "math_dapo",
+}
 
-def default_compute_score(data_source: str, solution_str: str, ground_truth: str, extra_info=None) -> float:
+
+def has_scorer(data_source: str) -> bool:
+    return data_source in _REGISTRY
+
+
+def default_compute_score(
+    data_source: str, solution_str: str, ground_truth: str, extra_info=None
+) -> float:
     """Dispatch like verl's default_compute_score."""
-    if data_source in ("openai/gsm8k", "gsm8k"):
-        from vla_rft_tpu.utils.reward_score import gsm8k
-
-        return gsm8k.compute_score(solution_str, ground_truth)
-    if data_source in ("lighteval/MATH", "math", "math_dapo"):
-        from vla_rft_tpu.utils.reward_score import math as math_score
-
-        return math_score.compute_score(solution_str, ground_truth)
-    raise NotImplementedError(f"no scorer for data source {data_source!r}")
+    mod_name = _REGISTRY.get(data_source)
+    if mod_name is None:
+        raise NotImplementedError(f"no scorer for data source {data_source!r}")
+    mod = importlib.import_module(f"vla_rft_tpu.utils.reward_score.{mod_name}")
+    return mod.compute_score(solution_str, ground_truth)
