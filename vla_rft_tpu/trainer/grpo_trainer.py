@@ -409,20 +409,33 @@ class VLARFTGRPOTrainer:
                     wm_size = wm_mb * self.n_devices
                     total_r = prompt.shape[0]
 
-                    def run_wm(rng_base, action_key):
+                    def run_wm(rng_base, prompts_all, actions_all):
                         outs = []
-                        for ci, i in enumerate(range(0, total_r, wm_size)):
+                        for ci, i in enumerate(range(0, prompts_all.shape[0], wm_size)):
                             sl = slice(i, i + wm_size)
                             outs.append(
                                 self._wm_gen(
                                     self.params["wm"], jax.random.fold_in(rng_base, ci),
-                                    prompt[sl], wm_inputs[action_key][sl],
+                                    prompts_all[sl], actions_all[sl],
                                 )
                             )
                         return jnp.concatenate(outs, axis=0)
 
-                    responses = run_wm(r_wm, "action_ids")
-                    gt_responses = run_wm(r_wm_gt, "gt_action_ids") if use_gt_ac else None
+                    if use_gt_ac:
+                        # policy + gt branches share prompts; one concatenated
+                        # batch amortizes the per-step weight reads (decode is
+                        # HBM-bound) when micro_batch_size covers both
+                        both = run_wm(
+                            r_wm,
+                            jnp.concatenate([prompt, prompt], axis=0),
+                            jnp.concatenate(
+                                [wm_inputs["action_ids"], wm_inputs["gt_action_ids"]], axis=0
+                            ),
+                        )
+                        responses, gt_responses = both[:total_r], both[total_r:]
+                    else:
+                        responses = run_wm(r_wm, prompt, wm_inputs["action_ids"])
+                        gt_responses = None
                     _sync(responses)
                     if gt_responses is not None:
                         _sync(gt_responses)
