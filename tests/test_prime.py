@@ -193,3 +193,55 @@ def test_prime_worker_whole_granularity():
     s = np.asarray(worker.compute_rm_score(ids, am, pos))
     assert (s[0, :3] == 0).all() and s[0, 3] != 0
     assert s[1, 1] != 0 and (np.delete(s[1], 1) == 0).all()
+
+
+def test_prime_ppo_trainer_step():
+    """Full PRIME loop inside PPOTrainer: verifier acc -> implicit PRM scores
+    + online RM update -> prime RLOO advantage -> PPO update
+    (recipe/prime/prime_ray_trainer.py fit loop)."""
+    from vla_rft_tpu.config import vla_rft_default_config
+    from vla_rft_tpu.parallel.mesh import MeshConfig, make_mesh
+    from vla_rft_tpu.trainer.ppo_trainer import PPOTrainer
+    from vla_rft_tpu.workers.reward_manager import NaiveRewardManager
+    from vla_rft_tpu.models.transformer import TransformerConfig
+
+    llm_cfg = TransformerConfig(
+        vocab_size=32, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=4, dtype=jnp.float32, param_dtype=jnp.float32,
+        attn_impl="xla",
+    )
+
+    class Tok:
+        def decode(self, ids):
+            return " ".join(map(str, ids))
+
+    class DS:
+        def sample_batch(self, b):
+            ids = np.random.default_rng(0).integers(3, 30, (b, 8)).astype(np.int32)
+            return {"input_ids": ids, "data_sources": ["toy"] * b, "ground_truths": ["7"] * b}
+
+    c = vla_rft_default_config()
+    c.data.train_batch_size = 2
+    c.actor_rollout_ref.rollout.n = 2
+    c.actor_rollout_ref.rollout.response_length = 6
+    c.actor_rollout_ref.actor.ppo_mini_batch_size = 4
+    c.algorithm.adv_estimator = "prime"
+    c.processor.eos_token_id = 2
+    c.processor.pad_token_id = 0
+    c.reward_model.enable = True
+    c.reward_model.rm_type = "prime"
+    c.reward_model.lr = 1e-3
+    c.mesh = {"dp": 1, "fsdp": 1, "tp": 1, "sp": 1}
+    mesh = make_mesh(MeshConfig(dp=1), devices=jax.devices()[:1])
+    trainer = PPOTrainer(
+        c, llm_cfg, Tok(), DS(), mesh=mesh,
+        reward_manager=NaiveRewardManager(Tok(), compute_score=lambda s, t, g, e=None: float("7" in t.split())),
+    )
+    assert trainer.prime_rm is not None
+    rm_before = np.asarray(jax.tree_util.tree_leaves(trainer.prime_rm.params)[1]).copy()
+    m = trainer.training_step(trainer.dataset.sample_batch(2), jax.random.key(0))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert "prime/rm_loss" in m and "prime/dpo_acc" in m
+    rm_after = np.asarray(jax.tree_util.tree_leaves(trainer.prime_rm.params)[1])
+    assert not np.allclose(rm_before, rm_after)  # RM trained online

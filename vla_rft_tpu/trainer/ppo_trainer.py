@@ -52,10 +52,16 @@ class PPOTrainer:
         # scores samples whose data source has no rule scorer; rule scorers
         # keep precedence (reward_manager/naive.py rm_scores fallback)
         self.rm = None
+        self.prime_rm = None
         if config.get_path("reward_model.enable", False):
-            from vla_rft_tpu.models.reward_model import SequenceRewardModel
+            if config.get_path("reward_model.rm_type", "value_head") == "prime":
+                # built after actor params exist (ref = initial policy);
+                # see end of __init__
+                pass
+            else:
+                from vla_rft_tpu.models.reward_model import SequenceRewardModel
 
-            self.rm = SequenceRewardModel(rm_cfg or llm_cfg)
+                self.rm = SequenceRewardModel(rm_cfg or llm_cfg)
         self.tokenizer = tokenizer
         self.dataset = dataset
         self.mesh = mesh or make_mesh(MeshConfig(**config.mesh.to_dict()))
@@ -97,6 +103,29 @@ class PPOTrainer:
                 optax.adamw(config.critic.optim.get("lr", 1e-5)),
             )
             self.critic_opt_state = self.critic_tx.init(self.critic_params)
+        if (
+            config.get_path("reward_model.enable", False)
+            and config.get_path("reward_model.rm_type", "value_head") == "prime"
+        ):
+            # PRIME: the RM is an LM initialized from (and referenced against)
+            # the starting policy (recipe/prime/prime_fsdp_workers.py)
+            from vla_rft_tpu.workers.prime_rm import PRIMERMConfig, PRIMERewardWorker
+
+            rmc = config.reward_model
+            self.prime_rm = PRIMERewardWorker(
+                llm_cfg,
+                PRIMERMConfig(
+                    response_length=self.roll_cfg.response_length,
+                    beta=rmc.get("beta_train", 0.05),
+                    granularity=rmc.get("prime_granularity", "token"),
+                    norm_mode=rmc.get("prime_norm", "batch_norm"),
+                    loss_type=rmc.get("loss_type", "ce"),
+                    lr=rmc.get("lr", 1e-6),
+                    n_samples=config.actor_rollout_ref.rollout.n,
+                ),
+                jax.tree_util.tree_map(lambda x: x, self.actor_params),
+                jax.tree_util.tree_map(lambda x: x, self.actor_params),
+            )
         self._build_stage_fns()
 
     # ------------------------------------------------------------------ stages
@@ -256,6 +285,27 @@ class PPOTrainer:
                 else:
                     scores = self.reward_manager(resp, resp_mask_np, sources, gts)
                 token_level_scores = jnp.asarray(scores)
+                prime_scores = None
+                if self.prime_rm is not None:
+                    # outcome correctness from the verifier; implicit PRM
+                    # scores + online RM update (prime_ray_trainer.fit)
+                    acc = token_level_scores.sum(-1)
+                    rm_batch = {
+                        "input_ids": gen["input_ids"],
+                        "attention_mask": gen["attention_mask"],
+                        "position_ids": gen["position_ids"],
+                        "acc": acc,
+                    }
+                    if cfg.reward_model.get("update", "after") == "before":
+                        metrics.update(self.prime_rm.update_rm(rm_batch))
+                        prime_scores = self.prime_rm.compute_rm_score(
+                            gen["input_ids"], gen["attention_mask"], gen["position_ids"]
+                        )
+                    else:
+                        prime_scores = self.prime_rm.compute_rm_score(
+                            gen["input_ids"], gen["attention_mask"], gen["position_ids"]
+                        )
+                        metrics.update(self.prime_rm.update_rm(rm_batch))
                 if algo.use_kl_in_reward:
                     kld = core_algos.kl_penalty(old_logp, ref_logp, algo.kl_penalty)
                     token_level_rewards = token_level_scores - algo.kl_ctrl.kl_coef * kld
@@ -281,6 +331,16 @@ class PPOTrainer:
                 elif est == "reinforce_plus_plus":
                     advantages, returns = core_algos.compute_reinforce_plus_plus_outcome_advantage(
                         token_level_rewards, mask, algo.gamma
+                    )
+                elif est == "prime":
+                    from vla_rft_tpu.trainer import prime_core
+
+                    advantages, returns = prime_core.compute_prime_advantage(
+                        mask, n,
+                        rm_scores=prime_scores,
+                        acc=token_level_scores.sum(-1),
+                        reward_dpo_coef=algo.get("reward_dpo_coef", 5.0),
+                        reward_gt_coef=algo.get("reward_gt_coef", 5.0),
                     )
                 else:
                     raise NotImplementedError(est)
