@@ -241,3 +241,56 @@ def test_decode_attention_int8_close_to_f32():
     v_all = jnp.swapaxes(jnp.asarray(vi[1] * sv[1][..., None], jnp.float32), 1, 2)
     ref = attention(q, k_all, v_all, causal=False, kv_lens=kv_lens, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.03, rtol=0.03)
+
+
+def test_decode_attention_packed_matches_unpacked():
+    """Head-pair packed cache (lane-padding fix) must match the unpacked
+    kernel bit-for-bit math-wise."""
+    from vla_rft_tpu.models.transformer import pack_kv_heads, unpack_kv_heads
+    from vla_rft_tpu.ops.decode_attention import decode_attention
+
+    rng = np.random.default_rng(13)
+    L, B, Hkv, G, S, D = 2, 2, 4, 2, 64, 32
+    Hq = Hkv * G
+    ck = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32) * 0.3
+    cv = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32) * 0.3
+    kv_lens = jnp.asarray([50, 64])
+    kv_starts = jnp.asarray([0, 4])
+    pck, pcv = pack_kv_heads(ck), pack_kv_heads(cv)
+    assert pck.shape == (L, B, Hkv // 2, S, 2 * D)
+    np.testing.assert_allclose(np.asarray(unpack_kv_heads(pck)), np.asarray(ck))
+    for li in range(L):
+        ref = decode_attention(
+            q, ck, cv, jnp.asarray(li), kv_lens, kv_starts, interpret=True
+        )
+        out = decode_attention(
+            q, pck, pcv, jnp.asarray(li), kv_lens, kv_starts, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_decode_attention_packed_int8():
+    from vla_rft_tpu.models.transformer import pack_kv_heads
+    from vla_rft_tpu.ops.decode_attention import decode_attention
+
+    rng = np.random.default_rng(17)
+    L, B, Hkv, G, S, D = 2, 2, 2, 1, 64, 32
+    kf = rng.normal(size=(L, B, Hkv, S, D)).astype(np.float32) * 0.3
+    vf = rng.normal(size=(L, B, Hkv, S, D)).astype(np.float32)
+    sk = np.maximum(np.abs(kf).max(-1) / 127.0, 1e-8)
+    sv = np.maximum(np.abs(vf).max(-1) / 127.0, 1e-8)
+    ki = np.clip(np.round(kf / sk[..., None]), -127, 127).astype(np.int8)
+    vi = np.clip(np.round(vf / sv[..., None]), -127, 127).astype(np.int8)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hkv * G, D)), jnp.float32) * 0.3
+    kv_lens = jnp.asarray([40, 64])
+    scales = (jnp.asarray(sk, jnp.float32), jnp.asarray(sv, jnp.float32))
+    ref = decode_attention(
+        q, jnp.asarray(ki), jnp.asarray(vi), jnp.asarray(1), kv_lens,
+        scales=scales, interpret=True,
+    )
+    out = decode_attention(
+        q, pack_kv_heads(jnp.asarray(ki)), pack_kv_heads(jnp.asarray(vi)),
+        jnp.asarray(1), kv_lens, scales=scales, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
