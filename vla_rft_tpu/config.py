@@ -222,7 +222,9 @@ def vla_rft_default_config() -> Config:
                 "rollout": {
                     "w_gt_ac": True,
                     "is_validate": True,
-                    "micro_batch_size": 32,
+                    # 64 = policy+gt branches of a 32-seq step in ONE decode
+                    # call (packed int8 cache ~87MB/seq: 64 seqs fit v5e HBM)
+                    "micro_batch_size": 64,
                     "name": "scan",  # reference: vLLM; here lax.scan decode
                     "temperature": 1.0,
                     "top_k": -1,
