@@ -227,3 +227,41 @@ def test_ppo_model_based_reward_model():
         assert np.isfinite(float(v)), f"{k} not finite"
     # rule rows scored 5.0 each (2 rollouts), RM rows are model outputs (!= 5)
     assert m["critic/score/mean"] != pytest.approx(5.0)
+
+
+def test_ppo_remax_estimator_step():
+    """ReMax: greedy-rollout baseline per unique prompt subtracted from the
+    sampled rollouts' returns (ray_trainer remax branch + core_algos)."""
+    c = vla_rft_default_config()
+    c.data.train_batch_size = 2
+    c.actor_rollout_ref.rollout.n = 2
+    c.actor_rollout_ref.rollout.response_length = 6
+    c.actor_rollout_ref.actor.ppo_mini_batch_size = 4
+    c.algorithm.adv_estimator = "remax"
+    c.processor.eos_token_id = 2
+    c.processor.pad_token_id = 0
+    c.mesh = {"dp": 1, "fsdp": 1, "tp": 1, "sp": 1}
+    mesh = make_mesh(MeshConfig(dp=1), devices=jax.devices()[:1])
+    trainer = PPOTrainer(
+        c, LLM_CFG, ToyTokenizer(), ToyDataset(), mesh=mesh,
+        reward_manager=NaiveRewardManager(ToyTokenizer(), compute_score=toy_score),
+    )
+    m = trainer.training_step(trainer.dataset.sample_batch(2), jax.random.key(0))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert "actor/pg_loss" in m
+
+
+def test_hf_tokenizer_pad_fix():
+    from vla_rft_tpu.utils.tokenizer import set_pad_token_id
+
+    class T:
+        pad_token_id = None
+        pad_token = None
+        eos_token_id = 7
+        eos_token = "<eos>"
+
+    t = T()
+    with pytest.warns(UserWarning):
+        set_pad_token_id(t)
+    assert t.pad_token_id == 7 and t.pad_token == "<eos>"

@@ -139,6 +139,16 @@ class PPOTrainer:
         def gen_fn(params, rng, prompts):
             return generate_sequences(self.llm, params, rng, prompts, self.roll_cfg)
 
+        import dataclasses as _dc
+
+        greedy_cfg = _dc.replace(self.roll_cfg, do_sample=False)
+
+        @jax.jit
+        def gen_greedy_fn(params, rng, prompts):
+            # ReMax baseline: greedy rollout of the same prompts
+            # (ray_trainer.py remax branch / core_algos compute_remax_*)
+            return generate_sequences(self.llm, params, rng, prompts, greedy_cfg)
+
         @jax.jit
         def logp_fn(params, input_ids, attention_mask, position_ids):
             lp, ent = compute_log_probs(
@@ -219,6 +229,7 @@ class PPOTrainer:
             return optax.apply_updates(params, updates), opt_state, metrics
 
         self._gen = gen_fn
+        self._gen_greedy = gen_greedy_fn
         self._logp = logp_fn
         self._rm_score = rm_fn
         self._values = values_fn
@@ -331,6 +342,22 @@ class PPOTrainer:
                 elif est == "reinforce_plus_plus":
                     advantages, returns = core_algos.compute_reinforce_plus_plus_outcome_advantage(
                         token_level_rewards, mask, algo.gamma
+                    )
+                elif est == "remax":
+                    # greedy-rollout baseline per UNIQUE prompt, repeated xn
+                    base_prompts = jnp.asarray(batch["input_ids"], jnp.int32)
+                    bgen = self._gen_greedy(
+                        self.actor_params, jax.random.fold_in(rng, 1), base_prompts
+                    )
+                    bscores = self.reward_manager(
+                        np.asarray(bgen["responses"]), np.asarray(bgen["response_mask"]),
+                        list(batch["data_sources"]), list(batch["ground_truths"]),
+                    )
+                    reward_baselines = jnp.repeat(
+                        jnp.asarray(bscores).sum(-1), n, axis=0
+                    )
+                    advantages, returns = core_algos.compute_remax_outcome_advantage(
+                        token_level_rewards, reward_baselines, mask
                     )
                 elif est == "prime":
                     from vla_rft_tpu.trainer import prime_core
