@@ -166,3 +166,36 @@ def test_letterbox():
     # top/bottom rows come from gray padding
     assert (out[0] == 127).all() and (out[-1] == 127).all()
     assert (out[8] == 200).all()
+
+
+def test_gpqa_scorer():
+    from vla_rft_tpu.utils.reward_score import gpqa, default_compute_score
+
+    assert gpqa.compute_score("reasoning... Answer: C", "C") == 1.0
+    assert gpqa.compute_score("Answer: $B$", "b") == 1.0
+    assert gpqa.compute_score("Answer: A", "D") == 0.0
+    assert gpqa.compute_score("no choice given", "A") == 0.0
+    assert default_compute_score("gpqa", "Answer: D", "D") == 1.0
+
+
+def test_main_eval_offline_parquet(tmp_path):
+    import pandas as pd
+
+    from vla_rft_tpu.trainer.main_eval import evaluate_parquet, run
+
+    df = pd.DataFrame(
+        {
+            "prompt": ["p1", "p2"],
+            "responses": [["blah #### 42", "blah #### 41"], ["Answer: C"]],
+            "data_source": ["openai/gsm8k", "gpqa"],
+            "reward_model": [{"ground_truth": "42"}, {"ground_truth": "C"}],
+        }
+    )
+    path = str(tmp_path / "gen.parquet")
+    df.to_parquet(path)
+    res = evaluate_parquet(path)
+    assert res["test_score/openai/gsm8k/pass@1"] == 0.5
+    assert res["test_score/openai/gsm8k/best@n"] == 1.0
+    assert res["test_score/gpqa/pass@1"] == 1.0
+    res2 = run([f"data.path={path}"])
+    assert res2 == res

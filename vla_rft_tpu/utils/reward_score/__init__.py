@@ -15,6 +15,8 @@ _REGISTRY = {
     "math_dapo": "math_dapo",
     "aime2024": "math_dapo",
     "math_verify": "math_dapo",
+    "gpqa": "gpqa",
+    "Idavidrein/gpqa": "gpqa",
 }
 
 
