@@ -13,11 +13,13 @@ Schedule: classic GPipe fill-drain. With P stages and M microbatches the
 loop runs T = M + P - 1 steps; stage p works on microbatch (t - p) at step
 t. Bubble fraction = (P-1)/T, so choose M >= 4*P for >80% utilization.
 
-Intended use: full teacher-forced forwards (training / logprob) of models
-too large for one chip.  Decode loops want inflight-microbatch pipelining
-instead (round-2 backlog); at the reference's 0.5B/0.4B scales PP is not
-needed for capacity, so this module is the scaling escape hatch, kept
-exercised by tests and the multi-chip dryrun.
+Intended use: full teacher-forced forwards of models too large for one
+chip — including TRAINING: jax.grad flows straight through the pipeline
+(the transpose of ppermute is the reverse ppermute; gradient parity vs the
+sequential model is tested).  Decode loops want inflight-microbatch
+pipelining instead (round-2 backlog); at the reference's 0.5B/0.4B scales
+PP is not needed for capacity, so this module is the scaling escape hatch,
+kept exercised by tests and the multi-chip dryrun.
 """
 from __future__ import annotations
 
