@@ -216,7 +216,9 @@ class Attention(nn.Module):
                     qv = jnp.clip(
                         jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
                     ).astype(jnp.int8)
-                    return qv, scale.astype(jnp.float32)
+                    # bf16 scales halve the per-step scale reads; 0.4% relative
+                    # error on a 1/127-grained quantizer is noise
+                    return qv, scale.astype(jnp.bfloat16)
 
                 kq, ks_new = quant(k_t)  # scales stay per (pos, head), unpacked
                 vq, vs_new = quant(v_t)
@@ -443,7 +445,7 @@ class Decoder(nn.Module):
             return (
                 jnp.zeros(shape, jnp.int8),
                 jnp.zeros(shape, jnp.int8),
-                jnp.ones(sshape, jnp.float32),
-                jnp.ones(sshape, jnp.float32),
+                jnp.ones(sshape, jnp.bfloat16),
+                jnp.ones(sshape, jnp.bfloat16),
             )
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))

@@ -73,7 +73,7 @@ def _decode_kernel(
             s_i32 = jax.lax.dot_general(
                 q_i8, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
             )  # (G, S)
-            sk = sk_ref[0, 0, h]  # (S,) per-position key scales (logical head)
+            sk = sk_ref[0, 0, h].astype(jnp.float32)  # (S,) per-position key scales
             s = s_i32.astype(jnp.float32) * qs[:, None] * sk[None, :]
         else:
             s = jax.lax.dot_general(
@@ -85,7 +85,7 @@ def _decode_kernel(
         p = jnp.exp(s - m)
         denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
         if quantized:
-            pv = p * sv_ref[0, 0, h][None, :]  # fold per-position v scales
+            pv = p * sv_ref[0, 0, h].astype(jnp.float32)[None, :]  # fold v scales
             ps = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-30) / 127.0
             p_i8 = jnp.clip(jnp.round(pv / ps), -127, 127).astype(jnp.int8)
             out_i32 = jax.lax.dot_general(
