@@ -120,3 +120,24 @@ def test_prefetching_loader():
     got = [loader.next_batch()["i"] for _ in range(5)]
     assert got == sorted(got) and len(set(got)) == 5
     loader.close()
+
+
+def test_load_action_ranges_formats(tmp_path):
+    import json
+
+    import numpy as np
+
+    from vla_rft_tpu.data.synthetic import load_action_ranges
+
+    a = np.asarray([[-1.0, 1.0], [-0.5, 0.25]], np.float32)
+    np.save(tmp_path / "r.npy", a)
+    np.testing.assert_allclose(load_action_ranges(str(tmp_path / "r.npy")), a)
+    (tmp_path / "r.json").write_text(json.dumps(a.tolist()))
+    np.testing.assert_allclose(load_action_ranges(str(tmp_path / "r.json")), a)
+    try:
+        import torch
+
+        torch.save(torch.tensor(a), tmp_path / "r.pth")
+        np.testing.assert_allclose(load_action_ranges(str(tmp_path / "r.pth")), a)
+    except ImportError:
+        pass

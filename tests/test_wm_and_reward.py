@@ -70,6 +70,25 @@ def test_wm_greedy_rollout_matches_manual_decode():
     np.testing.assert_array_equal(resp, np.asarray(out))
 
 
+def test_wm_segmented_cache_matches_single_cache():
+    """Valid-prefix cache bounding (cache_segments>1) is a pure perf
+    transform: identical sampled tokens to the single full-size cache."""
+    import dataclasses
+
+    wm, params, prompt, actions = _init_wm()
+    roll_sampled = dataclasses.replace(ROLL, do_sample=True, top_p=0.9)
+    ref = generate_sequences(
+        wm, params, jax.random.key(3), prompt, actions,
+        dataclasses.replace(roll_sampled, cache_segments=1),
+    )
+    for n_seg in (2, 3, 8):  # 8 > num_frames exercises the clamp
+        out = generate_sequences(
+            wm, params, jax.random.key(3), prompt, actions,
+            dataclasses.replace(roll_sampled, cache_segments=n_seg),
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_wm_logprob_of_greedy_is_max():
     wm, params, prompt, actions = _init_wm(B=1)
     resp = generate_sequences(wm, params, jax.random.key(1), prompt, actions, ROLL)

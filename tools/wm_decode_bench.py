@@ -1,0 +1,83 @@
+"""WM decode microbench: isolates the wm_rollout stage (the RFT step's
+dominant cost) at real LIBERO shapes so decode optimizations can be measured
+without building/compiling the full trainer.
+
+Usage: python tools/wm_decode_bench.py [--segs 1 4] [--batch 64]
+"""
+import argparse
+import time
+
+import jax
+from vla_rft_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from vla_rft_tpu.models.transformer import Decoder, TransformerConfig
+from vla_rft_tpu.workers.wm_rollout import WMRolloutConfig, generate_sequences
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--segs", type=int, nargs="+", default=[1, 4])
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--kv-dtype", default="int8")
+    args = ap.parse_args()
+
+    cfg = TransformerConfig.wm_llama(kv_cache_dtype=args.kv_dtype)
+    wm = Decoder(cfg)
+    roll = WMRolloutConfig()
+
+    t0 = time.time()
+    shapes = jax.eval_shape(
+        lambda r: wm.init(r, jnp.zeros((1, 8), jnp.int32)), jax.random.key(0)
+    )
+    nprng = np.random.default_rng(0)
+
+    def materialize(path, sd):
+        name = str(getattr(path[-1], "key", path[-1])).lower()
+        if name in ("weight", "scale"):
+            return jnp.ones(sd.shape, sd.dtype)
+        arr = nprng.standard_normal(size=sd.shape, dtype=np.float32) * np.float32(0.02)
+        return jnp.asarray(arr, sd.dtype)
+
+    params = jax.tree_util.tree_map_with_path(materialize, shapes)
+    print(f"[init params] {time.time()-t0:.1f}s", flush=True)
+
+    B = args.batch
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, 9006, (B, roll.prompt_length)), jnp.int32)
+    actions = jnp.asarray(
+        rng.integers(8750, 9006, (B, roll.num_frames + 1, roll.action_dim)), jnp.int32
+    )
+
+    for n_seg in args.segs:
+        rc = dataclasses.replace(roll, cache_segments=n_seg)
+
+        @jax.jit
+        def gen(params, key, prompt, actions, rc=rc):
+            return generate_sequences(wm, params, key, prompt, actions, rc)
+
+        t0 = time.time()
+        out = np.asarray(gen(params, jax.random.key(0), prompt, actions))
+        print(f"[segs={n_seg}] compile+first: {time.time()-t0:.1f}s", flush=True)
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            out = np.asarray(gen(params, jax.random.key(i + 1), prompt, actions))
+            times.append(time.time() - t0)
+        best = min(times)
+        fps = B * roll.num_frames / best
+        print(
+            f"[segs={n_seg}] B={B} best {best:.2f}s  "
+            f"{best/ (roll.num_frames*(roll.interact_max_tokens+1))*1e3:.2f} ms/step  "
+            f"{fps:.1f} frames/s",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

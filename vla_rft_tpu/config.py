@@ -234,6 +234,10 @@ def vla_rft_default_config() -> Config:
                     "do_sample": True,
                     "interact": True,
                     "interact_max_tokens": 64,
+                    # valid-prefix KV bounding: frame loop split into this
+                    # many statically-sized cache segments (perf-neutral
+                    # semantics; see wm_rollout.generate_sequences)
+                    "cache_segments": 4,
                     "val_kwargs": {"top_k": -1, "top_p": 0.8, "temperature": 1.0},
                 },
             },

@@ -95,3 +95,29 @@ def default_action_ranges(action_dim: int = 7) -> np.ndarray:
     return np.stack([-np.ones(action_dim), np.ones(action_dim)], axis=-1).astype(
         np.float32
     )
+
+
+def load_action_ranges(path: str) -> np.ndarray:
+    """Load per-dimension action ranges as an (A, 2) [min, max] float32 array.
+
+    Accepts the reference's torch tensor format (ivideogpt/configs/
+    libero_action_ranges.pth, used by ContextMultiStepPredictionProcessor.
+    _discretize_actions, ivideogpt/processor.py:146-159) plus .npy/.npz/.json
+    for torch-free deployments."""
+    if path.endswith((".npy", ".npz")):
+        arr = np.load(path)
+        if hasattr(arr, "files"):  # npz
+            arr = arr[arr.files[0]]
+    elif path.endswith(".json"):
+        import json
+
+        with open(path) as f:
+            arr = np.asarray(json.load(f))
+    else:  # .pth / .pt — torch CPU tensor
+        import torch
+
+        arr = torch.load(path, map_location="cpu", weights_only=True).numpy()
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim != 2 or arr.shape[1] != 2:
+        raise ValueError(f"action ranges at {path} must be (A, 2), got {arr.shape}")
+    return arr

@@ -72,6 +72,7 @@ def build_models(config, preset: str = "libero") -> ModelBundle:
         top_k=roll.val_kwargs.top_k if roll.is_validate else roll.top_k,
         top_p=roll.val_kwargs.top_p if roll.is_validate else roll.top_p,
         do_sample=roll.do_sample,
+        cache_segments=roll.get("cache_segments", 4),
     )
     loss_w = trainer.loss_weight
     reward_cfg = RewardConfig(

@@ -99,11 +99,15 @@ class VLARFTGRPOTrainer:
                 seed=config.trainer.get("seed", 0),
             )
         )
-        self.action_ranges = jnp.asarray(
-            action_ranges
-            if action_ranges is not None
-            else default_action_ranges(b.expert_cfg.action_dim)
-        )
+        if action_ranges is None:
+            ranges_path = config.processor.get("action_ranges_path", None)
+            if ranges_path:
+                from vla_rft_tpu.data.synthetic import load_action_ranges
+
+                action_ranges = load_action_ranges(ranges_path)
+            else:
+                action_ranges = default_action_ranges(b.expert_cfg.action_dim)
+        self.action_ranges = jnp.asarray(action_ranges)
         self.ckpt = CheckpointManager(config.trainer.default_local_dir)
         self.global_steps = 0
         self.total_training_steps = config.trainer.total_training_steps

@@ -45,6 +45,12 @@ class WMRolloutConfig:
     top_k: int = -1
     top_p: float = 0.8
     do_sample: bool = True
+    # valid-prefix cache bounding: split the frame loop into this many
+    # sequential scans, each with a KV cache statically sized to that
+    # segment's maximum valid length (the decode loop is cache-read-bound;
+    # early frames shouldn't pay DMA for the final frames' empty tail).
+    # 1 = single full-size cache (old behavior).
+    cache_segments: int = 4
 
     @property
     def tokens_per_frame(self) -> int:
@@ -53,6 +59,26 @@ class WMRolloutConfig:
     @property
     def total_length(self) -> int:
         return self.prompt_length + self.response_length
+
+
+def grow_cache(cache: Tuple, new_len: int, align: int) -> Tuple:
+    """Zero-pad every cache array's sequence dim (axis 3 for both the
+    (L, B, H, S, D) k/v arrays and the (L, B, H, S) int8 scale arrays) up to
+    `new_len` rounded to the cache alignment (same rule as
+    Decoder.init_cache).  Used between decode segments — a handful of ~GB
+    copies per rollout, vs. reading the unused tail every one of 512 decode
+    steps."""
+    new_len = (new_len + align - 1) // align * align
+    out = []
+    for arr in cache:
+        s = arr.shape[3]
+        if s >= new_len:
+            out.append(arr)
+            continue
+        pad = [(0, 0)] * arr.ndim
+        pad[3] = (0, new_len - s)
+        out.append(jnp.pad(arr, pad))
+    return tuple(out)
 
 
 def generate_sequences(
@@ -64,14 +90,24 @@ def generate_sequences(
     cfg: WMRolloutConfig,
 ) -> jnp.ndarray:
     """Returns response tokens (B, response_length): per frame
-    [64 sampled visual tokens | 7 teacher-forced action tokens]."""
+    [64 sampled visual tokens | 7 teacher-forced action tokens].
+
+    The frame loop is split into `cfg.cache_segments` sequential scans with
+    a statically growing KV cache (valid-prefix DMA bounding): decode is
+    cache-read-bound, and frame f only ever attends to
+    prompt + (f+1)*(V+A) positions — ~12% less cache traffic at LIBERO
+    shapes than one total_length cache."""
     B, P = input_ids.shape
     F = cfg.num_frames
     V = cfg.interact_max_tokens
     A = cfg.action_dim
-    max_len = cfg.total_length
 
-    cache = wm.init_cache(B, max_len)
+    # segment boundaries: split F frames as evenly as possible
+    n_seg = max(1, min(int(cfg.cache_segments), F))
+    bounds = [round(F * (s + 1) / n_seg) for s in range(n_seg)]
+    f_starts = [0] + bounds[:-1]
+
+    cache = wm.init_cache(B, P + bounds[0] * (V + A))
     # ---- prefill the prompt (logits only at the last position) ----
     logits, _, cache = wm.apply(
         wm_params, input_ids, cache=cache, cache_index=0, logits_last_only=True
@@ -106,9 +142,15 @@ def generate_sequences(
         frame_tokens = jnp.concatenate([vis_toks.T, act], axis=1)  # (B, V+A)
         return (cache, last_logits, key), frame_tokens
 
-    (_, _, _), frames = jax.lax.scan(
-        frame_step, (cache, last_logits, rng), jnp.arange(F)
-    )  # frames: (F, B, V+A)
+    align = 128 if wm.cfg.kv_cache_dtype == "int8" else 8
+    carry = (cache, last_logits, rng)
+    frame_chunks = []
+    for f0, f1 in zip(f_starts, bounds):
+        cache = grow_cache(carry[0], P + f1 * (V + A), align)
+        carry = (cache,) + carry[1:]
+        carry, frames_s = jax.lax.scan(frame_step, carry, jnp.arange(f0, f1))
+        frame_chunks.append(frames_s)  # (f1-f0, B, V+A)
+    frames = jnp.concatenate(frame_chunks, axis=0)  # (F, B, V+A)
     response = jnp.moveaxis(frames, 0, 1).reshape(B, F * (V + A))
     return response.astype(jnp.int32)
 
