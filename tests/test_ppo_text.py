@@ -265,3 +265,50 @@ def test_hf_tokenizer_pad_fix():
     with pytest.warns(UserWarning):
         set_pad_token_id(t)
     assert t.pad_token_id == 7 and t.pad_token == "<eos>"
+
+
+def test_prime_code_scorer_stdin_stdout():
+    from vla_rft_tpu.utils.reward_score import prime_code
+
+    sol = "answer:\n```python\nn = int(input())\nprint(n * 2)\n```"
+    cases = {"inputs": ["3\n", "10\n"], "outputs": ["6\n", "20\n"]}
+    score, meta = prime_code.compute_score(sol, cases)
+    assert score == 1.0 and meta["passed"] == 2
+
+    # partial pass -> continuous fraction
+    bad = "```python\nn = int(input())\nprint(n * 2 if n < 5 else 0)\n```"
+    score, meta = prime_code.compute_score(bad, cases)
+    assert score == 0.5 and meta["passed"] == 1
+    score, _ = prime_code.compute_score(bad, cases, continuous=False)
+    assert score == 0.0
+
+
+def test_prime_code_scorer_fn_name_and_guards():
+    import json
+
+    from vla_rft_tpu.utils.reward_score import prime_code
+
+    sol = "```python\ndef add(a, b):\n    return a + b\n```"
+    cases = json.dumps({"inputs": [[1, 2], [5, 5]], "outputs": [3, 10], "fn_name": "add"})
+    score, _ = prime_code.compute_score(sol, cases)
+    assert score == 1.0
+
+    # crash and timeout are failures, not exceptions
+    score, _ = prime_code.compute_score("```python\nraise SystemExit(3)\n```", cases)
+    assert score == 0.0
+    score, meta = prime_code.compute_score("no code here", "not json {")
+    assert score == 0.0 and "error" in meta
+
+
+def test_geo3k_scorer():
+    from vla_rft_tpu.utils.reward_score import default_compute_score, geo3k
+
+    assert geo3k.compute_score("thus \\boxed{12.5}", "12.50") == 1.0
+    assert geo3k.compute_score("\\boxed{12.5}", "13") == 0.0
+    assert default_compute_score("hiyouga/geometry3k", "\\boxed{2}", "2") == 1.0
+    # registry unwraps prime_code's (score, metadata) tuple
+    s = default_compute_score(
+        "apps", "```python\nprint(int(input())+1)\n```",
+        '{"inputs": ["1\\n"], "outputs": ["2\\n"]}',
+    )
+    assert s == 1.0

@@ -17,6 +17,13 @@ _REGISTRY = {
     "math_verify": "math_dapo",
     "gpqa": "gpqa",
     "Idavidrein/gpqa": "gpqa",
+    "hiyouga/geometry3k": "geo3k",
+    "geo3k": "geo3k",
+    # APPS-style code sources run in a subprocess sandbox (prime_code)
+    "codecontests": "prime_code",
+    "apps": "prime_code",
+    "codeforces": "prime_code",
+    "taco": "prime_code",
 }
 
 
@@ -32,4 +39,11 @@ def default_compute_score(
     if mod_name is None:
         raise NotImplementedError(f"no scorer for data source {data_source!r}")
     mod = importlib.import_module(f"vla_rft_tpu.utils.reward_score.{mod_name}")
-    return mod.compute_score(solution_str, ground_truth)
+    res = mod.compute_score(solution_str, ground_truth)
+    # scorers may return score, (score, metadata), or {"score": ...}
+    # (reference __init__.py:49-55)
+    if isinstance(res, dict):
+        return float(res["score"])
+    if isinstance(res, (int, float, bool)):
+        return float(res)
+    return float(res[0])
