@@ -75,14 +75,25 @@ def main():
     img1 = jnp.zeros((1, 256, 256, 3), jnp.float32)
     lp_params = _rand_params(lp, img1, img1)
 
+    # reduce to a scalar ON DEVICE: returning the (B,F,256,256,3) pixels
+    # would time the host relay transfer (~56MB), not the decode
+    detok_sum = jax.jit(
+        lambda p, c, v: tok.apply(p, c, v, method=tok.detokenize).mean()
+    )
+    timed(detok_sum, tok_params, idx_c, vis, label=f"detokenize B={B} F={F}")
+    for f in (1, 4):
+        timed(
+            detok_sum, tok_params, idx_c, vis[:, :f],
+            label=f"detokenize B={B} F={f}",
+        )
     detok = jax.jit(lambda p, c, v: tok.apply(p, c, v, method=tok.detokenize))
-    pred = timed(detok, tok_params, idx_c, vis, label=f"detokenize B={B} F={F}")
+    pred = detok(tok_params, idx_c, vis)
     pred = jnp.clip(jnp.asarray(pred)[:, 1:], 0, 1)
 
     lpips_fn = jax.jit(
         lambda p, a, b: lp.apply(
             p, a.reshape(-1, 256, 256, 3) * 2 - 1, b.reshape(-1, 256, 256, 3) * 2 - 1
-        )
+        ).mean()
     )
     timed(lpips_fn, lp_params, real, pred, label=f"lpips {B*F} pairs")
 
