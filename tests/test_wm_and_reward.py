@@ -89,6 +89,30 @@ def test_wm_segmented_cache_matches_single_cache():
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_wm_shared_prefix_prefill_matches_full_prompt():
+    """Shared-prefix prefill (unique heads + per-row tails + cache gather)
+    is bit-identical to prefilling the full concatenated prompt."""
+    import dataclasses
+
+    wm, params, prompt, actions = _init_wm(B=4)
+    # rows 0-1 share a prompt head, rows 2-3 share another (tails all differ)
+    p0 = ROLL.prompt_length - 3
+    prompt = np.array(prompt)  # writable copy
+    prompt[1, :p0] = prompt[0, :p0]
+    prompt[3, :p0] = prompt[2, :p0]
+    prompt = jnp.asarray(prompt)
+    roll = dataclasses.replace(ROLL, do_sample=True, top_p=0.9)
+
+    ref = generate_sequences(wm, params, jax.random.key(5), prompt, actions, roll)
+    shared = prompt[::2, :p0]
+    pm = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    out = generate_sequences(
+        wm, params, jax.random.key(5), prompt[:, p0:], actions, roll,
+        shared_prefix=shared, prefix_map=pm,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_wm_logprob_of_greedy_is_max():
     wm, params, prompt, actions = _init_wm(B=1)
     resp = generate_sequences(wm, params, jax.random.key(1), prompt, actions, ROLL)

@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--segs", type=int, nargs="+", default=[1, 4])
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--kv-dtype", default="int8")
+    ap.add_argument(
+        "--uniques", type=int, default=0,
+        help="shared-prefix prefill with this many unique prompt heads (0 = off)",
+    )
     args = ap.parse_args()
 
     cfg = TransformerConfig.wm_llama(kv_cache_dtype=args.kv_dtype)
@@ -54,16 +58,30 @@ def main():
         rng.integers(8750, 9006, (B, roll.num_frames + 1, roll.action_dim)), jnp.int32
     )
 
+    p0 = roll.prompt_length - roll.action_dim
     for n_seg in args.segs:
         rc = dataclasses.replace(roll, cache_segments=n_seg)
 
-        @jax.jit
-        def gen(params, key, prompt, actions, rc=rc):
-            return generate_sequences(wm, params, key, prompt, actions, rc)
+        if args.uniques:
+            nu = args.uniques
+            pm = jnp.asarray(np.arange(nu).repeat(B // nu), jnp.int32)
 
+            @jax.jit
+            def gen(params, key, prompt, actions, rc=rc, pm=pm, nu=nu):
+                return generate_sequences(
+                    wm, params, key, prompt[:, p0:], actions, rc,
+                    shared_prefix=prompt[:: B // nu, :p0], prefix_map=pm,
+                )
+        else:
+
+            @jax.jit
+            def gen(params, key, prompt, actions, rc=rc):
+                return generate_sequences(wm, params, key, prompt, actions, rc)
+
+        tag = f"segs={n_seg}" + (f" uniq={args.uniques}" if args.uniques else "")
         t0 = time.time()
         out = np.asarray(gen(params, jax.random.key(0), prompt, actions))
-        print(f"[segs={n_seg}] compile+first: {time.time()-t0:.1f}s", flush=True)
+        print(f"[{tag}] compile+first: {time.time()-t0:.1f}s", flush=True)
         times = []
         for i in range(3):
             t0 = time.time()
@@ -72,7 +90,7 @@ def main():
         best = min(times)
         fps = B * roll.num_frames / best
         print(
-            f"[segs={n_seg}] B={B} best {best:.2f}s  "
+            f"[{tag}] B={B} best {best:.2f}s  "
             f"{best/ (roll.num_frames*(roll.interact_max_tokens+1))*1e3:.2f} ms/step  "
             f"{fps:.1f} frames/s",
             flush=True,

@@ -218,9 +218,13 @@ class VLARFTGRPOTrainer:
         roll_cfg = b.wm_roll_cfg
 
         @jax.jit
-        def wm_gen_fn(wm_params, rng, prompt_ids, action_ids):
+        def wm_gen_fn(wm_params, rng, shared_prefix, prefix_map, prompt_tails, action_ids):
+            # shared-prefix prefill: all rollouts/branches of a sample share
+            # the prompt's ctx+dyn_0 head; only the 7 action-token tail
+            # differs per row (see wm_rollout.generate_sequences)
             return wm_rollout.generate_sequences(
-                b.wm, wm_params, rng, prompt_ids, action_ids, roll_cfg
+                b.wm, wm_params, rng, prompt_tails, action_ids, roll_cfg,
+                shared_prefix=shared_prefix, prefix_map=prefix_map,
             )
 
         @jax.jit
@@ -412,15 +416,24 @@ class VLARFTGRPOTrainer:
                     wm_mb = cfg.world_model_rollout.rollout.get("micro_batch_size", 16) or 16
                     wm_size = wm_mb * self.n_devices
                     total_r = prompt.shape[0]
+                    # the prompt head (ctx + dyn_0, everything before the
+                    # trailing action tokens) is identical across the n
+                    # rollouts of a sample AND across the policy/gt branches
+                    p0 = b.wm_roll_cfg.prompt_length - b.proc_cfg.action_dim
+                    prefix_unique = prompt[::n, :p0]  # (B_u, P0)
+                    tails = prompt[:, p0:]
+                    pm_branch = np.arange(prompt.shape[0] // n).repeat(n)
 
-                    def run_wm(rng_base, prompts_all, actions_all):
+                    def run_wm(rng_base, pm_all, tails_all, actions_all):
                         outs = []
-                        for ci, i in enumerate(range(0, prompts_all.shape[0], wm_size)):
+                        for ci, i in enumerate(range(0, tails_all.shape[0], wm_size)):
                             sl = slice(i, i + wm_size)
+                            uniq, local = np.unique(pm_all[sl], return_inverse=True)
                             outs.append(
                                 self._wm_gen(
                                     self.params["wm"], jax.random.fold_in(rng_base, ci),
-                                    prompts_all[sl], actions_all[sl],
+                                    prefix_unique[uniq], jnp.asarray(local, jnp.int32),
+                                    tails_all[sl], actions_all[sl],
                                 )
                             )
                         return jnp.concatenate(outs, axis=0)
@@ -431,14 +444,15 @@ class VLARFTGRPOTrainer:
                         # HBM-bound) when micro_batch_size covers both
                         both = run_wm(
                             r_wm,
-                            jnp.concatenate([prompt, prompt], axis=0),
+                            np.concatenate([pm_branch, pm_branch]),
+                            jnp.concatenate([tails, tails], axis=0),
                             jnp.concatenate(
                                 [wm_inputs["action_ids"], wm_inputs["gt_action_ids"]], axis=0
                             ),
                         )
                         responses, gt_responses = both[:total_r], both[total_r:]
                     else:
-                        responses = run_wm(r_wm, prompt, wm_inputs["action_ids"])
+                        responses = run_wm(r_wm, pm_branch, tails, wm_inputs["action_ids"])
                         gt_responses = None
                     _sync(responses)
                     if gt_responses is not None:
@@ -578,9 +592,17 @@ class VLARFTGRPOTrainer:
                 out["predicted_actions"], batch["actions"],
             )
             prompt = wm_inputs["input_ids"][:, : b.wm_roll_cfg.prompt_length]
-            responses = self._wm_gen(self.params["wm"], r_wm, prompt, wm_inputs["action_ids"])
+            p0 = b.wm_roll_cfg.prompt_length - b.proc_cfg.action_dim
+            pm = jnp.arange(prompt.shape[0] // n, dtype=jnp.int32).repeat(n)
+            responses = self._wm_gen(
+                self.params["wm"], r_wm, prompt[::n, :p0], pm, prompt[:, p0:],
+                wm_inputs["action_ids"],
+            )
             gt_responses = (
-                self._wm_gen(self.params["wm"], r_wm_gt, prompt, wm_inputs["gt_action_ids"])
+                self._wm_gen(
+                    self.params["wm"], r_wm_gt, prompt[::n, :p0], pm, prompt[:, p0:],
+                    wm_inputs["gt_action_ids"],
+                )
                 if use_gt_ac
                 else None
             )

@@ -88,6 +88,8 @@ def generate_sequences(
     input_ids: jnp.ndarray,  # (B, prompt_length) — no padding (fixed layout)
     action_ids: jnp.ndarray,  # (B, T, action_dim) offset action tokens
     cfg: WMRolloutConfig,
+    shared_prefix: Optional[jnp.ndarray] = None,  # (B_u, P0) unique prompt heads
+    prefix_map: Optional[jnp.ndarray] = None,  # (B,) int32 row -> unique index
 ) -> jnp.ndarray:
     """Returns response tokens (B, response_length): per frame
     [64 sampled visual tokens | 7 teacher-forced action tokens].
@@ -96,8 +98,19 @@ def generate_sequences(
     a statically growing KV cache (valid-prefix DMA bounding): decode is
     cache-read-bound, and frame f only ever attends to
     prompt + (f+1)*(V+A) positions — ~12% less cache traffic at LIBERO
-    shapes than one total_length cache."""
-    B, P = input_ids.shape
+    shapes than one total_length cache.
+
+    shared-prefix prefill: in the RFT step all n rollouts of a sample (and
+    the gt-action branch) share the prompt's first 1088 tokens
+    (ctx 1024 + dyn_0 64) — only the trailing 7 action tokens differ.  When
+    `shared_prefix`/`prefix_map` are given, the prefix is prefilled once per
+    UNIQUE row and the KV cache is gathered out to the full batch (a cheap
+    HBM copy), so prefill FLOPs drop by ~B/B_u.  `input_ids` then holds only
+    the per-row tails.  Bit-identical to prefilling the concatenated
+    prompt (same positions, same cache contents)."""
+    B = action_ids.shape[0]
+    P0 = 0 if shared_prefix is None else shared_prefix.shape[1]
+    P = P0 + input_ids.shape[1]
     F = cfg.num_frames
     V = cfg.interact_max_tokens
     A = cfg.action_dim
@@ -107,11 +120,28 @@ def generate_sequences(
     bounds = [round(F * (s + 1) / n_seg) for s in range(n_seg)]
     f_starts = [0] + bounds[:-1]
 
-    cache = wm.init_cache(B, P + bounds[0] * (V + A))
-    # ---- prefill the prompt (logits only at the last position) ----
-    logits, _, cache = wm.apply(
-        wm_params, input_ids, cache=cache, cache_index=0, logits_last_only=True
-    )
+    seg0_len = P + bounds[0] * (V + A)
+    if shared_prefix is not None:
+        # ---- prefill unique prefixes, then tile the cache to the batch ----
+        B_u = shared_prefix.shape[0]
+        cache_u = wm.init_cache(B_u, seg0_len)
+        _, _, cache_u = wm.apply(
+            wm_params, shared_prefix, cache=cache_u, cache_index=0,
+            logits_last_only=True,
+        )
+        cache = tuple(jnp.take(a, prefix_map, axis=1) for a in cache_u)
+        # per-row tails continue at position P0 (kv_lens covers the prefix)
+        kv_lens = jnp.full((B,), P, jnp.int32)
+        logits, _, cache = wm.apply(
+            wm_params, input_ids, cache=cache, cache_index=P0,
+            kv_lens=kv_lens, logits_last_only=True,
+        )
+    else:
+        cache = wm.init_cache(B, seg0_len)
+        # ---- prefill the prompt (logits only at the last position) ----
+        logits, _, cache = wm.apply(
+            wm_params, input_ids, cache=cache, cache_index=0, logits_last_only=True
+        )
     last_logits = logits[:, -1]  # (B, vocab)
 
     def frame_step(carry, f):
