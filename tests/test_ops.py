@@ -294,3 +294,24 @@ def test_decode_attention_packed_int8():
         jnp.asarray(1), kv_lens, scales=scales, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_decode_attention_block_b_variants():
+    """Batch-blocked grid (block_b>1) matches the per-row grid exactly."""
+    from vla_rft_tpu.ops.decode_attention import decode_attention
+
+    rng = np.random.default_rng(23)
+    L, B, Hkv, G, S, D = 2, 4, 2, 2, 64, 32
+    ck = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32) * 0.3
+    cv = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hkv * G, D)), jnp.float32) * 0.3
+    kv_lens = jnp.asarray([40, 64, 17, 50])
+    kv_starts = jnp.asarray([0, 8, 0, 3])
+    ref = decode_attention(
+        q, ck, cv, jnp.asarray(1), kv_lens, kv_starts, interpret=True, block_b=1
+    )
+    for bb in (2, 4):
+        out = decode_attention(
+            q, ck, cv, jnp.asarray(1), kv_lens, kv_starts, interpret=True, block_b=bb
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
