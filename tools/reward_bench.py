@@ -111,6 +111,21 @@ def main():
     timed(full, tok_params, lp_params, resp, idx_c + 4375, gtr,
           label=f"msp_reward(gt) B={B}")
 
+    # precomputed-ctx-feats path (trainer: ctx decoded once per unique)
+    ctx_map = jnp.zeros((B,), jnp.int32)
+    feats_fn = jax.jit(
+        lambda tp, c: tok.apply(tp, c, method=tok.ctx_decode)[1]
+    )
+    feats_u = feats_fn(tok_params, idx_c[:1])
+    full_feats = jax.jit(
+        lambda tp, lpp, r, fu, g: msp_reward(
+            tok, tp, lp, lpp, proc, rcfg, r, None, gt_responses=g,
+            ctx_feats=fu, ctx_map=ctx_map,
+        )
+    )
+    timed(full_feats, tok_params, lp_params, resp, feats_u, gtr,
+          label=f"msp_reward(gt,feats) B={B}")
+
 
 if __name__ == "__main__":
     main()

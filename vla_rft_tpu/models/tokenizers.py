@@ -200,31 +200,44 @@ class CompressiveVQModelFSQ(nn.Module):
         indices_d = info_d.reshape(B, T - 1, -1)
         return indices_c, indices_d
 
+    def ctx_decode(self, indices_c: jnp.ndarray):
+        """(B, 1, 1024) ctx tokens -> (decoded ctx frame (B, H, W, 3),
+        decoder feature pyramid [each (B, h, w, c)]).
+
+        Split out of detokenize so the reward path can compute the ctx
+        decode ONCE per unique sample per step and share the features
+        across all rollouts and both the policy/gt branches."""
+        B = indices_c.shape[0]
+        ch, cw = self.ctx_res
+        quant = self.quantize.indices_to_codes(indices_c.reshape(B, -1))
+        quant = quant.reshape(B, ch, cw, -1).astype(self.dtype)
+        quant2 = self.post_quant_conv(quant)
+        return self.decoder(quant2, return_features=True)
+
+    def detokenize_dyn(
+        self, indices_d: jnp.ndarray, cond_feats
+    ) -> jnp.ndarray:
+        """(B, T, 64) dynamics tokens + per-SEQUENCE ctx features
+        [(B, h, w, c)] -> future-frame pixels (B, T, H, W, 3)."""
+        B, T = indices_d.shape[:2]
+        ch, cw = self.ctx_res
+        p = self.patch_size
+        quant_d = self.dynamics_quantize.indices_to_codes(indices_d.reshape(B * T, -1))
+        quant2_d = self.post_quant_linear(quant_d.astype(self.dtype))  # (B*T, 64, p*p*c)
+        quant2_d = _depatchify(quant2_d, ch, cw, p, self.latent_channels)
+        feats = self._repeat_feats(cond_feats, T)
+        dec = self.cond_decoder(quant2_d, feats)  # (B*T, H, W, 3)
+        return dec.reshape(B, T, *dec.shape[1:])
+
     def detokenize(self, indices_c: jnp.ndarray, indices_d: jnp.ndarray) -> jnp.ndarray:
         """(B, 1, 1024), (B, T, 64) -> pixels (B, T+1, H, W, 3).
 
         Mirrors compressive_vq_model.py:296-346 (frame 0 = decoded context).
         """
         B = indices_c.shape[0]
-        T = indices_d.shape[1]
-        ch, cw = self.ctx_res
-        dh, dw = self.dyn_res
-        p = self.patch_size
-
-        quant = self.quantize.indices_to_codes(indices_c.reshape(B, -1))
-        quant = quant.reshape(B, ch, cw, -1).astype(self.dtype)
-        quant2 = self.post_quant_conv(quant)
-
-        quant_d = self.dynamics_quantize.indices_to_codes(indices_d.reshape(B * T, -1))
-        quant2_d = self.post_quant_linear(quant_d.astype(self.dtype))  # (B*T, 64, p*p*c)
-        quant2_d = _depatchify(quant2_d, ch, cw, p, self.latent_channels)
-
-        context_dec, cond_feats = self.decoder(quant2, return_features=True)
-        cond_feats = self._repeat_feats(cond_feats, T)
-        dec = self.cond_decoder(quant2_d, cond_feats)  # (B*T, H, W, 3)
-
+        context_dec, cond_feats = self.ctx_decode(indices_c)
+        dec = self.detokenize_dyn(indices_d, cond_feats)
         context_dec = context_dec.reshape(B, 1, *context_dec.shape[1:])
-        dec = dec.reshape(B, T, *dec.shape[1:])
         return jnp.concatenate([context_dec, dec], axis=1)
 
     def __call__(self, pixel_values):

@@ -235,6 +235,30 @@ class VLARFTGRPOTrainer:
                 real_frames=real_frames, gt_responses=gt_responses,
             )
 
+        @jax.jit
+        def ctx_feats_fn(tok_params, ctx_tokens_unique):
+            # ctx-frame decode ONCE per unique sample per step; features are
+            # shared by every rollout and both reward branches
+            ctx_raw = ctx_tokens_unique - b.proc_cfg.visual_token_num
+            _, feats = b.tokenizer.apply(
+                tok_params, ctx_raw, method=b.tokenizer.ctx_decode
+            )
+            return feats
+
+        @jax.jit
+        def reward_feats_fn(
+            tok_params, lpips_params, responses, ctx_feats, ctx_map, real_frames, gt_responses
+        ):
+            return msp_reward(
+                b.tokenizer, tok_params, b.lpips, lpips_params, b.proc_cfg,
+                b.reward_cfg, responses, None,
+                real_frames=real_frames, gt_responses=gt_responses,
+                ctx_feats=ctx_feats, ctx_map=ctx_map,
+            )
+
+        self._ctx_feats = ctx_feats_fn
+        self._reward_feats = reward_feats_fn
+
         uniform_std = cfg.algorithm.uniform_std
         chunk_dims = b.expert_cfg.num_actions_chunk * b.expert_cfg.action_dim
 
@@ -466,9 +490,15 @@ class VLARFTGRPOTrainer:
                     rw_mb = cfg.processor.get("tokenizer_micro_batch_size", 8) or 8
                     rw_size = rw_mb * self.n_devices
                     total_r = responses.shape[0]
+                    # ctx-frame decode once per UNIQUE sample; features shared
+                    # by all rollouts and both branches in every chunk below
+                    ctx_feats_u = self._ctx_feats(
+                        self.params["tokenizer"], wm_inputs["ctx_tokens"][::n]
+                    )
                     rew_chunks, rm_acc = [], {}
                     for i in range(0, total_r, rw_size):
                         sl = slice(i, i + rw_size)
+                        cmap = jnp.asarray(pm_branch[sl], jnp.int32)
                         if use_gt_ac:
                             rf = jnp.zeros((1,))
                             gtr = gt_responses[sl]
@@ -478,9 +508,9 @@ class VLARFTGRPOTrainer:
                             idx = (jnp.arange(i, min(i + rw_size, total_r)) // n)
                             rf = uniq[idx]
                             gtr = None
-                        r, r_metrics = self._reward(
+                        r, r_metrics = self._reward_feats(
                             self.params["tokenizer"], self.params["lpips"],
-                            responses[sl], wm_inputs["ctx_tokens"][sl], rf, gtr,
+                            responses[sl], ctx_feats_u, cmap, rf, gtr,
                         )
                         rew_chunks.append(r)
                         for k, v in r_metrics.items():

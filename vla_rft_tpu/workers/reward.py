@@ -81,22 +81,38 @@ def msp_reward(
     ctx_tokens: jnp.ndarray,  # (B, 1, 1024) offset ctx tokens
     real_frames: Optional[jnp.ndarray] = None,  # (B, F, H, W, C) in [0,1]
     gt_responses: Optional[jnp.ndarray] = None,  # (B, response_length) gt branch
+    ctx_feats=None,  # precomputed UNIQUE decoder feature pyramid [(B_u, h, w, c)]
+    ctx_map: Optional[jnp.ndarray] = None,  # (B,) int32 row -> unique index
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Returns (reward_tensor (B, response_length), metrics).
 
     Reward = -(recon*w + lpips*w) aggregated over frames, written at the last
     response token (ray_trainer.py:1389-1398; responses have no padding in the
-    interact layout so the last valid token is the last position)."""
+    interact layout so the last valid token is the last position).
+
+    When `ctx_feats`/`ctx_map` are given, the ctx-frame decode (the fixed
+    ~20% of detokenize) is skipped: features were computed once per unique
+    sample (trainer step) and are gathered per row here — both branches
+    share them (the reference re-runs the full decode per branch per
+    micro-batch, fsdp_workers.py:1791-1839)."""
     F = reward_cfg.num_frames
     vis = split_response_tokens(proc_cfg, responses, F)  # (B, F, 64)
-    ctx_raw = ctx_tokens - proc_cfg.visual_token_num  # un-offset for the FSQ decoder
-    pred_all = tokenizer.apply(tok_params, ctx_raw, vis, method=tokenizer.detokenize)
-    pred = jnp.clip(pred_all[:, 1:], 0.0, 1.0)  # drop decoded ctx frame
+
+    if ctx_feats is not None:
+        feats = [jnp.take(f, ctx_map, axis=0) for f in ctx_feats]
+        detok = lambda v: tokenizer.apply(
+            tok_params, v, feats, method=tokenizer.detokenize_dyn
+        )
+    else:
+        ctx_raw = ctx_tokens - proc_cfg.visual_token_num  # un-offset for FSQ
+        detok = lambda v: tokenizer.apply(
+            tok_params, ctx_raw, v, method=tokenizer.detokenize
+        )[:, 1:]  # drop decoded ctx frame
+    pred = jnp.clip(detok(vis), 0.0, 1.0)
 
     if gt_responses is not None:
         gt_vis = split_response_tokens(proc_cfg, gt_responses, F)
-        real_all = tokenizer.apply(tok_params, ctx_raw, gt_vis, method=tokenizer.detokenize)
-        real = jnp.clip(real_all[:, 1:], 0.0, 1.0)
+        real = jnp.clip(detok(gt_vis), 0.0, 1.0)
     else:
         assert real_frames is not None
         real = real_frames
