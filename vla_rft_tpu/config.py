@@ -141,7 +141,7 @@ def vla_rft_default_config() -> Config:
                 "use_img_gt_ac": True,
                 "interact": True,
                 "tokenizer": {"name": "ctx_cnn", "path": None},
-                "tokenizer_micro_batch_size": 16,
+                "tokenizer_micro_batch_size": 8,
                 "context_length": 1,
                 "action_dim": 7,
                 "action_bins": 256,
