@@ -514,10 +514,14 @@ class VLARFTGRPOTrainer:
                         )
                         rew_chunks.append(r)
                         for k, v in r_metrics.items():
-                            rm_acc.setdefault(k, []).append(float(v))
+                            # keep device scalars — float() here would block
+                            # on each chunk (a relay round-trip per call)
+                            rm_acc.setdefault(k, []).append(v)
                     reward_tensor = jnp.concatenate(rew_chunks, axis=0)
                     _sync(reward_tensor)
-                    metrics.update({k: float(np.mean(v)) for k, v in rm_acc.items()})
+                    metrics.update(
+                        {k: float(np.mean([float(x) for x in v])) for k, v in rm_acc.items()}
+                    )
                     token_level_rewards = reward_tensor
 
             _vlog("reward done")
