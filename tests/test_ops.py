@@ -315,3 +315,91 @@ def test_decode_attention_block_b_variants():
             q, ck, cv, jnp.asarray(1), kv_lens, kv_starts, interpret=True, block_b=bb
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_decode_attention_shared_matches_concat_xla():
+    """Split-cache kernel (shared prefix + own segment, Sq>=1) == regular
+    attention over the concatenated cache."""
+    from vla_rft_tpu.ops.decode_attention import decode_attention_shared
+
+    rng = np.random.default_rng(29)
+    L, B, Bu, Hkv, G, Sp, Sr, D = 2, 4, 2, 2, 2, 48, 32, 32
+    Hq = Hkv * G
+    pm = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    sck = jnp.asarray(rng.normal(size=(L, Bu, Hkv, Sp, D)), jnp.float32) * 0.3
+    scv = jnp.asarray(rng.normal(size=(L, Bu, Hkv, Sp, D)), jnp.float32)
+    ck = jnp.asarray(rng.normal(size=(L, B, Hkv, Sr, D)), jnp.float32) * 0.3
+    cv = jnp.asarray(rng.normal(size=(L, B, Hkv, Sr, D)), jnp.float32)
+    shared_valid = 40  # < Sp: padded tail masked
+    for Sq in (1, 7):
+        q = jnp.asarray(rng.normal(size=(B, Sq, Hq, D)), jnp.float32) * 0.3
+        own_lens = jnp.asarray([Sq, 10 + Sq, 20 + Sq, 32], jnp.int32)
+        for li in range(L):
+            out = decode_attention_shared(
+                q, ck, cv, sck, scv, jnp.asarray(li), own_lens, pm,
+                shared_valid=shared_valid, interpret=True,
+            )
+            # reference: gather + slice + concat, masked attention
+            k_sh = jnp.take(sck[li], pm, axis=0)[:, :, :shared_valid]
+            v_sh = jnp.take(scv[li], pm, axis=0)[:, :, :shared_valid]
+            k_all = jnp.swapaxes(jnp.concatenate([k_sh, ck[li]], axis=2), 1, 2)
+            v_all = jnp.swapaxes(jnp.concatenate([v_sh, cv[li]], axis=2), 1, 2)
+            ref = attention(
+                q, k_all, v_all, causal=True,
+                kv_lens=shared_valid + own_lens,
+                q_offset=shared_valid + own_lens - Sq, impl="xla",
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4
+            )
+
+
+def test_decode_attention_shared_packed_int8():
+    """Packed head pairs + int8 quantized caches through the split kernel."""
+    from vla_rft_tpu.models.transformer import pack_kv_heads
+    from vla_rft_tpu.ops.decode_attention import decode_attention_shared
+
+    rng = np.random.default_rng(31)
+    L, B, Bu, Hkv, G, Sp, Sr, D = 2, 2, 1, 2, 1, 48, 32, 32
+    pm = jnp.zeros((B,), jnp.int32)
+
+    def q8(x):
+        s = np.maximum(np.abs(x).max(-1) / 127.0, 1e-8)
+        return np.clip(np.round(x / s[..., None]), -127, 127).astype(np.int8), s
+
+    skf = rng.normal(size=(L, Bu, Hkv, Sp, D)).astype(np.float32) * 0.3
+    svf = rng.normal(size=(L, Bu, Hkv, Sp, D)).astype(np.float32)
+    okf = rng.normal(size=(L, B, Hkv, Sr, D)).astype(np.float32) * 0.3
+    ovf = rng.normal(size=(L, B, Hkv, Sr, D)).astype(np.float32)
+    ski, sks = q8(skf)
+    svi, svs = q8(svf)
+    oki, oks = q8(okf)
+    ovi, ovs = q8(ovf)
+    shared_valid = 48
+    Sq = 3
+    q = jnp.asarray(rng.normal(size=(B, Sq, Hkv * G, D)), jnp.float32) * 0.3
+    own_lens = jnp.asarray([Sq, 20], jnp.int32)
+    li = 1
+    out = decode_attention_shared(
+        q,
+        pack_kv_heads(jnp.asarray(oki)), pack_kv_heads(jnp.asarray(ovi)),
+        pack_kv_heads(jnp.asarray(ski)), pack_kv_heads(jnp.asarray(svi)),
+        jnp.asarray(li), own_lens, pm, shared_valid=shared_valid,
+        scales=(jnp.asarray(oks, jnp.float32), jnp.asarray(ovs, jnp.float32)),
+        shared_scales=(jnp.asarray(sks, jnp.float32), jnp.asarray(svs, jnp.float32)),
+        interpret=True,
+    )
+    # f32 reference on dequantized caches
+    k_sh = jnp.asarray(ski[li] * sks[li][..., None], jnp.float32)[pm]
+    v_sh = jnp.asarray(svi[li] * svs[li][..., None], jnp.float32)[pm]
+    k_all = jnp.swapaxes(
+        jnp.concatenate([k_sh, jnp.asarray(oki[li] * oks[li][..., None], jnp.float32)], axis=2), 1, 2
+    )
+    v_all = jnp.swapaxes(
+        jnp.concatenate([v_sh, jnp.asarray(ovi[li] * ovs[li][..., None], jnp.float32)], axis=2), 1, 2
+    )
+    ref = attention(
+        q, k_all, v_all, causal=True, kv_lens=shared_valid + own_lens,
+        q_offset=shared_valid + own_lens - Sq, impl="xla",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.03, rtol=0.03)

@@ -170,12 +170,21 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(
         self, x, positions, kv_lens, cache=None, cache_index=None, causal=True,
-        layer_idx=None, kv_starts=None,
+        layer_idx=None, kv_starts=None, shared_cache=None, shared_len=0,
+        prefix_map=None,
     ):
         """cache: FULL stacked (ck, cv) of shape (L, B, S, nkv, hd), updated
         in place at `layer_idx` via dynamic_update_slice so lax.scan keeps one
         buffer alive across the decode loop (a per-layer ys-stacked cache
-        would copy the whole multi-GB cache every token)."""
+        would copy the whole multi-GB cache every token).
+
+        shared_cache: optional READ-ONLY prefix cache (L, B_u, nkv, Sp, hd)
+        holding the first `shared_len` positions, shared by many batch rows
+        (`prefix_map` (B,) -> B_u).  `cache` then covers only positions >=
+        shared_len and `cache_index` stays ABSOLUTE — writes land at
+        cache_index - shared_len.  Deduplicates the prompt's KV across the n
+        GRPO rollouts of a sample (decode is cache-read-bound; the prompt is
+        ~2/3 of the positions at LIBERO shapes)."""
         cfg = self.cfg
         hd, nh, nkv = cfg.hd, cfg.num_heads, cfg.num_kv_heads
         dense = lambda feats, name, bias: nn.DenseGeneral(
@@ -198,6 +207,8 @@ class Attention(nn.Module):
                 ck, cv = cache  # (L, B, nkv, S, hd) — (S, hd) tiled
             li = jnp.asarray(layer_idx, jnp.int32)
             idx = jnp.asarray(cache_index, jnp.int32)
+            if shared_cache is not None:
+                idx = idx - shared_len  # own-cache write coordinates
 
             from vla_rft_tpu.ops.attention import _IMPL_OVERRIDE
 
@@ -235,7 +246,57 @@ class Attention(nn.Module):
                 cv = jax.lax.dynamic_update_slice(cv, vw.astype(cv.dtype), (li, 0, 0, idx, 0))
                 new_cache = (ck, cv)
             kv_lens_eff = jnp.minimum(kv_lens, cache_index + S)
-            if S == 1 and impl in ("auto", "pallas") and on_tpu:
+            if shared_cache is not None:
+                if int8_cache:
+                    sck, scv, ssk, ssv = shared_cache
+                else:
+                    sck, scv = shared_cache
+                own_lens = kv_lens_eff - shared_len
+                if S <= 8 and impl in ("auto", "pallas") and on_tpu:
+                    from vla_rft_tpu.ops.decode_attention import (
+                        decode_attention_shared,
+                    )
+
+                    out = decode_attention_shared(
+                        q, ck, cv, sck, scv, li, own_lens, prefix_map,
+                        shared_valid=shared_len,
+                        scales=(sk, sv) if int8_cache else None,
+                        shared_scales=(ssk, ssv) if int8_cache else None,
+                    )
+                else:
+                    # XLA fallback (CPU tests / large S): gather each row's
+                    # shared prefix, concat with the own cache, regular
+                    # masked attention over the combined sequence
+                    def take_layer(a):
+                        return jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+
+                    k_sh, v_sh = take_layer(sck), take_layer(scv)
+                    k_ow, v_ow = take_layer(ck), take_layer(cv)
+                    if packed:
+                        k_sh, v_sh = unpack_kv_heads(k_sh), unpack_kv_heads(v_sh)
+                        k_ow, v_ow = unpack_kv_heads(k_ow), unpack_kv_heads(v_ow)
+                    if int8_cache:
+                        deq = lambda a, s: (
+                            a.astype(jnp.float32) * s.astype(jnp.float32)[..., None]
+                        ).astype(cfg.dtype)
+                        k_sh = deq(k_sh, take_layer(ssk))
+                        v_sh = deq(v_sh, take_layer(ssv))
+                        k_ow = deq(k_ow, take_layer(sk))
+                        v_ow = deq(v_ow, take_layer(sv))
+                    k_sh = jnp.take(k_sh, prefix_map, axis=0)[:, :, :shared_len]
+                    v_sh = jnp.take(v_sh, prefix_map, axis=0)[:, :, :shared_len]
+                    k_all = jnp.swapaxes(
+                        jnp.concatenate([k_sh, k_ow], axis=2), 1, 2
+                    ).astype(cfg.dtype)
+                    v_all = jnp.swapaxes(
+                        jnp.concatenate([v_sh, v_ow], axis=2), 1, 2
+                    ).astype(cfg.dtype)
+                    q_offset = jnp.full((B,), cache_index, jnp.int32)
+                    out = attention(
+                        q, k_all, v_all, causal=causal, kv_lens=kv_lens_eff,
+                        q_offset=q_offset, impl="xla",
+                    )
+            elif S == 1 and impl in ("auto", "pallas") and on_tpu:
                 # single-token decode: pallas kernel slices the layer out of
                 # the stacked cache via its index map (head-grouped blocks —
                 # few large DMAs)
@@ -319,12 +380,14 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(
         self, x, positions, kv_lens, cache=None, cache_index=None, causal=True,
-        layer_idx=None, kv_starts=None,
+        layer_idx=None, kv_starts=None, shared_cache=None, shared_len=0,
+        prefix_map=None,
     ):
         cfg = self.cfg
         h, new_cache = Attention(cfg, name="self_attn")(
             RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="input_layernorm")(x),
             positions, kv_lens, cache, cache_index, causal, layer_idx, kv_starts,
+            shared_cache, shared_len, prefix_map,
         )
         x = x + h
         x = x + MLP(cfg, name="mlp")(
@@ -358,6 +421,9 @@ class Decoder(nn.Module):
         embed_only: bool = False,
         logits_last_only: bool = False,
         kv_starts: Optional[jnp.ndarray] = None,
+        shared_cache: Optional[Tuple] = None,
+        shared_len: int = 0,
+        prefix_map: Optional[jnp.ndarray] = None,
     ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[Dict]]:
         cfg = self.cfg
         embed = nn.Embed(
@@ -385,7 +451,8 @@ class Decoder(nn.Module):
 
         layer_cls = DecoderLayer
         if cfg.remat:
-            layer_cls = nn.remat(DecoderLayer, static_argnums=(6,))
+            # static: causal (6) and shared_len (10); self counts as 0
+            layer_cls = nn.remat(DecoderLayer, static_argnums=(6, 10))
 
         # The full stacked KV cache rides the layer-scan CARRY and is updated
         # in place per layer — not emitted as stacked ys, which would allocate
@@ -393,7 +460,8 @@ class Decoder(nn.Module):
         def body(mdl, carry, _):
             h, pos, layer_cache, li = carry
             h, new_cache = mdl(
-                h, pos, kv_lens, layer_cache, cache_index, causal, li, kv_starts
+                h, pos, kv_lens, layer_cache, cache_index, causal, li, kv_starts,
+                shared_cache, shared_len, prefix_map,
             )
             return (h, pos, new_cache, li + 1), None
 

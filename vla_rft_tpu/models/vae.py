@@ -28,10 +28,10 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1", dtype=self.dtype)(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2", dtype=self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
@@ -49,7 +49,7 @@ class SpatialAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="group_norm")(x)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="group_norm", dtype=self.dtype)(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
@@ -150,13 +150,13 @@ class CrossAttentionBlock2D(nn.Module):
     def __call__(self, z, addin):
         # z: (B, H, W, C); addin: (B, H, W, C) context features (kv_frames=1)
         B, H, W, C = z.shape
-        kv = nn.GroupNorm(num_groups=self.groups, name="kv_norm")(addin).reshape(B, -1, C)
+        kv = nn.GroupNorm(num_groups=self.groups, name="kv_norm", dtype=self.dtype)(addin).reshape(B, -1, C)
         kv_pos = self.param(
             "kv_pos_emb", nn.initializers.zeros,
             (self.kv_frames * self.resolution * self.resolution, C), jnp.float32,
         )
         kv = kv + kv_pos.astype(kv.dtype)
-        q = nn.GroupNorm(num_groups=self.groups, name="q_norm")(z).reshape(B, -1, C)
+        q = nn.GroupNorm(num_groups=self.groups, name="q_norm", dtype=self.dtype)(z).reshape(B, -1, C)
         q_pos = self.param(
             "q_pos_emb", nn.initializers.zeros,
             (self.resolution * self.resolution, C), jnp.float32,
@@ -200,7 +200,7 @@ class Encoder(nn.Module):
             feats.append(x)
         x = UNetMidBlock(self.groups, self.add_mid_attention, dtype=self.dtype, name="mid_block")(x)
         feats.append(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="conv_norm_out")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="conv_norm_out", dtype=self.dtype)(x)
         x = nn.silu(x)
         out_ch = 2 * self.out_channels if self.double_z else self.out_channels
         x = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
@@ -235,7 +235,7 @@ class Decoder(nn.Module):
                 groups=self.groups, dtype=self.dtype, name=f"up_blocks_{i}",
             )(x)
             feats.append(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="conv_norm_out")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="conv_norm_out", dtype=self.dtype)(x)
         x = nn.silu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         if return_features:
@@ -277,7 +277,7 @@ class ConditionalEncoder(nn.Module):
                 )(x, cond_features[i + 1])
                 att_idx += 1
         x = UNetMidBlock(self.groups, self.add_mid_attention, dtype=self.dtype, name="mid_block")(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="conv_norm_out")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="conv_norm_out", dtype=self.dtype)(x)
         x = nn.silu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         return x
@@ -317,7 +317,7 @@ class ConditionalDecoder(nn.Module):
                     name=f"cross_att_blocks_{att_idx}",
                 )(x, cond_features[i + 2])
                 att_idx += 1
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="conv_norm_out")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="conv_norm_out", dtype=self.dtype)(x)
         x = nn.silu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         return x

@@ -177,6 +177,276 @@ def _decode_one(
         o_ref[bi] = out.reshape(Hb, G, Dc).astype(o_ref.dtype)
 
 
+def _shared_decode_kernel(
+    li_ref,  # scalar prefetch (1,) layer index (drives index maps)
+    kv_lens_ref,  # scalar prefetch (B,) valid OWN-cache lengths (incl. current)
+    pm_ref,  # scalar prefetch (B,) row -> shared-cache row
+    q_ref,  # VMEM (1, heads_in_block, G*Sq, D) — LOGICAL heads
+    k_ref,  # VMEM (1, 1, Hb, Sr, Dc) own keys
+    v_ref,  # VMEM (1, 1, Hb, Sr, Dc)
+    sk_ref,  # VMEM (1, 1, Hb, Sp, Dc) shared keys (this row's unique prefix)
+    sv_ref,  # VMEM (1, 1, Hb, Sp, Dc)
+    *rest,  # [qk_ref, qv_ref, qsk_ref, qsv_ref] int8 scales, then o_ref
+    scale: float,
+    quantized: bool,
+    packed: bool,
+    sq: int,
+    shared_valid: int,
+):
+    """Split-cache decode: every query row attends to its own (short) cache
+    segment PLUS a prefix segment shared by many batch rows.  The shared
+    block's index map routes through a scalar-prefetched `prefix_map`, so
+    consecutive grid rows with the same prefix revisit the SAME block and
+    Pallas elides the DMA — the n rollouts of one sample read the prompt's
+    cache once instead of n times (the decisive traffic cut: the prompt is
+    ~2/3 of the KV positions at LIBERO shapes).
+
+    Supports Sq>1 small query blocks (the 7 teacher-forced action tokens per
+    frame ride the same kernel instead of materializing a full layer slice
+    on the XLA path); causal masking inside the block via per-row query
+    offsets.  Head-vectorized like `_decode_kernel`: one (N, Dc) x (S, Dc)^T
+    MXU dot per segment with N = logical_heads * G * Sq query rows."""
+    if quantized:
+        qk_ref, qv_ref, qsk_ref, qsv_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    b = pl.program_id(0)
+    Hb = k_ref.shape[2]
+    Sr = k_ref.shape[3]
+    Sp = sk_ref.shape[3]
+    Dc = k_ref.shape[4]
+    D = q_ref.shape[-1]
+    per_row = 2 if packed else 1
+    HL = Hb * per_row
+    GS = q_ref.shape[2]  # G * Sq
+    N = HL * GS
+    kv_len = kv_lens_ref[b]
+
+    # ---- queries (N, Dc), packed pairs zero-padded into lane halves
+    q = q_ref[0].astype(jnp.float32).reshape(N, D) * scale
+    if packed:
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * D), 1)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * D), 0)
+        odd = (row_i // GS) % 2
+        qfull = jnp.where((lane2 < D) == (odd == 0), jnp.concatenate([q, q], -1), 0.0)
+    else:
+        qfull = q
+
+    if quantized:
+        qs = jnp.maximum(jnp.max(jnp.abs(qfull), axis=-1, keepdims=True), 1e-8) / 127.0
+        q_i8 = jnp.clip(jnp.round(qfull / qs), -127, 127).astype(jnp.int8)
+
+    def seg_scores(kk_ref, scale_ref, S):
+        """(N, S) scores for one cache segment via the block-diagonal trick."""
+        row_of = jax.lax.broadcasted_iota(jnp.int32, (N, Hb * S), 0) // (GS * per_row)
+        seg_of = jax.lax.broadcasted_iota(jnp.int32, (N, Hb * S), 1) // S
+        own2 = row_of == seg_of
+        kk = kk_ref[0, 0].reshape(Hb * S, Dc)
+        if quantized:
+            big = jax.lax.dot_general(
+                q_i8, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            s = (
+                jnp.sum(jnp.where(own2, big, 0).reshape(N, Hb, S), axis=1).astype(
+                    jnp.float32
+                )
+                * qs
+            )
+            sk = scale_ref[0, 0].astype(jnp.float32)  # (HL, S) logical-head scales
+            s = s * jnp.repeat(sk, GS, axis=0)
+        else:
+            big = jax.lax.dot_general(
+                qfull, kk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = jnp.sum(jnp.where(own2, big, 0.0).reshape(N, Hb, S), axis=1)
+        return s, own2
+
+    s_sh, own2_sh = seg_scores(sk_ref, qsk_ref if quantized else None, Sp)
+    s_ow, own2_ow = seg_scores(k_ref, qk_ref if quantized else None, Sr)
+
+    # masks: shared prefix fully valid up to shared_valid (static); own cache
+    # causal per query row — row n's query sits at own position
+    # kv_len - Sq + (n % Sq), so it sees own pos <= that
+    pos_sh = jax.lax.broadcasted_iota(jnp.int32, (N, Sp), 1)
+    s_sh = jnp.where(pos_sh < shared_valid, s_sh, NEG_INF)
+    pos_ow = jax.lax.broadcasted_iota(jnp.int32, (N, Sr), 1)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (N, Sr), 0) % sq
+    s_ow = jnp.where(pos_ow < kv_len - (sq - 1) + qi, s_ow, NEG_INF)
+
+    m = jnp.maximum(
+        jnp.max(s_sh, axis=-1, keepdims=True), jnp.max(s_ow, axis=-1, keepdims=True)
+    )
+    p_sh = jnp.exp(s_sh - m)
+    p_ow = jnp.exp(s_ow - m)
+    denom = jnp.maximum(
+        jnp.sum(p_sh, -1, keepdims=True) + jnp.sum(p_ow, -1, keepdims=True), 1e-30
+    )
+
+    def seg_pv(p, vv_ref, scale_ref, own2, S):
+        vv = vv_ref[0, 0].reshape(Hb * S, Dc)
+        if quantized:
+            sv = scale_ref[0, 0].astype(jnp.float32)
+            pv = p * jnp.repeat(sv, GS, axis=0)
+            ps = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-30) / 127.0
+            p_i8 = jnp.clip(jnp.round(pv / ps), -127, 127).astype(jnp.int8)
+            bd = jnp.where(own2, jnp.concatenate([p_i8] * Hb, axis=1), 0)
+            return (
+                jax.lax.dot_general(
+                    bd, vv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+                ).astype(jnp.float32)
+                * ps
+            )
+        bd = jnp.where(own2, jnp.concatenate([p] * Hb, axis=1), 0.0)
+        return jax.lax.dot_general(
+            bd, vv.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    out = (
+        seg_pv(p_sh, sv_ref, qsv_ref if quantized else None, own2_sh, Sp)
+        + seg_pv(p_ow, v_ref, qv_ref if quantized else None, own2_ow, Sr)
+    ) / denom
+
+    if packed:  # combine pair lanes: even head [0,D), odd head [D,2D)
+        o = out.reshape(Hb, per_row * GS * Dc)
+        a = o[:, : GS * Dc].reshape(Hb * GS, Dc)
+        bqd = o[:, GS * Dc :].reshape(Hb * GS, Dc)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Hb * GS, Dc), 1)
+        o_ref[0] = jnp.where(lane < D, a, bqd).reshape(Hb, GS, Dc).astype(o_ref.dtype)
+    else:
+        o_ref[0] = out.reshape(Hb, GS, Dc).astype(o_ref.dtype)
+
+
+def decode_attention_shared(
+    q: jnp.ndarray,  # (B, Sq, Hq, D) small query block (Sq <= 8)
+    ck: jnp.ndarray,  # (L, B, Hc, Sr, Dc) own (response) cache
+    cv: jnp.ndarray,
+    sck: jnp.ndarray,  # (L, B_u, Hc, Sp, Dc) shared prefix cache (read-only)
+    scv: jnp.ndarray,
+    layer_idx: jnp.ndarray,
+    kv_lens_own: jnp.ndarray,  # (B,) valid own positions incl. current block
+    prefix_map: jnp.ndarray,  # (B,) row -> shared-cache row
+    shared_valid: int,  # static count of valid shared positions
+    scales: Optional[tuple] = None,  # own (sk, sv) (L, B, Hkv, Sr)
+    shared_scales: Optional[tuple] = None,  # (ssk, ssv) (L, B_u, Hkv, Sp)
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (B, Sq, Hq, D). See `_shared_decode_kernel`."""
+    B, Sq, Hq, D = q.shape
+    L, _, Hc, Sr, Dc = ck.shape
+    Sp = sck.shape[3]
+    packed = Dc == 2 * D
+    Hkv = Hc * 2 if packed else Hc
+    G = Hq // Hkv
+    per_row = 2 if packed else 1
+    if scale is None:
+        scale = D**-0.5
+    quantized = scales is not None
+
+    # one head group (WM shapes fit VMEM comfortably: both segments < 5MB)
+    hg = Hc
+    hq_blk = hg * per_row
+
+    # (B, Sq, Hq, D) -> (B, Hkv, G*Sq, D): head-major, query-position fastest
+    qg = (
+        jnp.swapaxes(q, 1, 2).reshape(B, Hkv, G, Sq, D).reshape(B, Hkv, G * Sq, D)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, 1),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hq_blk, G * Sq, D), lambda b, g, li, kl, pm: (b, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hg, Sr, Dc), lambda b, g, li, kl, pm: (li[0], b, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hg, Sr, Dc), lambda b, g, li, kl, pm: (li[0], b, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # shared blocks: consecutive b with equal prefix_map revisit the
+            # same block -> DMA elided by the pipeline
+            pl.BlockSpec(
+                (1, 1, hg, Sp, Dc), lambda b, g, li, kl, pm: (li[0], pm[b], g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hg, Sp, Dc), lambda b, g, li, kl, pm: (li[0], pm[b], g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + (
+            [
+                pl.BlockSpec(
+                    (1, 1, hq_blk, Sr), lambda b, g, li, kl, pm: (li[0], b, g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, hq_blk, Sr), lambda b, g, li, kl, pm: (li[0], b, g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, hq_blk, Sp), lambda b, g, li, kl, pm: (li[0], pm[b], g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, hq_blk, Sp), lambda b, g, li, kl, pm: (li[0], pm[b], g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            if quantized
+            else []
+        ),
+        out_specs=pl.BlockSpec(
+            (1, hg, G * Sq, Dc), lambda b, g, li, kl, pm: (b, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _shared_decode_kernel, scale=float(scale), quantized=quantized,
+            packed=packed, sq=Sq, shared_valid=int(shared_valid),
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hc, G * Sq, Dc), q.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Sq * Hq * (Sr + Sp) * D,
+            bytes_accessed=2
+            * B
+            * Hc
+            * Sr
+            * Dc
+            * jnp.dtype(ck.dtype).itemsize,  # shared reads amortized away
+            transcendentals=B * Sq * Hq * (Sr + Sp),
+        ),
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        kv_lens_own.astype(jnp.int32),
+        prefix_map.astype(jnp.int32),
+        qg,
+        ck,
+        cv,
+        sck,
+        scv,
+        *(scales if quantized else ()),
+        *(shared_scales if quantized else ()),
+    )
+    # (B, Hc, G*Sq, Dc) -> (B, Sq, Hq, D)
+    if packed:
+        out = out.reshape(B, Hc, G * Sq, 2, D)
+        out = jnp.swapaxes(out, 2, 3).reshape(B, Hkv, G * Sq, D)
+    out = out.reshape(B, Hkv, G, Sq, D)
+    return jnp.swapaxes(out, 1, 3).swapaxes(2, 3).reshape(B, Sq, Hq, D)
+
+
 def decode_attention(
     q: jnp.ndarray,  # (B, 1, Hq, D) single query token
     ck: jnp.ndarray,  # (L, B, Hc, S, Dc) stacked key cache (Hc=Hkv/2 packed)

@@ -100,14 +100,18 @@ def generate_sequences(
     prompt + (f+1)*(V+A) positions — ~12% less cache traffic at LIBERO
     shapes than one total_length cache.
 
-    shared-prefix prefill: in the RFT step all n rollouts of a sample (and
-    the gt-action branch) share the prompt's first 1088 tokens
+    shared-prefix SPLIT CACHE: in the RFT step all n rollouts of a sample
+    (and the gt-action branch) share the prompt's first 1088 tokens
     (ctx 1024 + dyn_0 64) — only the trailing 7 action tokens differ.  When
     `shared_prefix`/`prefix_map` are given, the prefix is prefilled once per
-    UNIQUE row and the KV cache is gathered out to the full batch (a cheap
-    HBM copy), so prefill FLOPs drop by ~B/B_u.  `input_ids` then holds only
-    the per-row tails.  Bit-identical to prefilling the concatenated
-    prompt (same positions, same cache contents)."""
+    UNIQUE row into a cache that stays at B_u rows for the whole rollout;
+    decode attention reads it via `prefix_map` (the Pallas kernel's shared
+    block revisits elide the DMA) while the per-row cache covers only the
+    tail + response positions.  vs. the earlier gather-out design this cuts
+    decode cache traffic ~3x (the prompt is ~2/3 of the KV positions) and
+    shrinks per-row cache HBM from total_length to ~response_length rows.
+    Same prefill FLOP saving (~B/B_u); same sampled distribution — the
+    combined softmax is computed over identical logits."""
     B = action_ids.shape[0]
     P0 = 0 if shared_prefix is None else shared_prefix.shape[1]
     P = P0 + input_ids.shape[1]
@@ -120,29 +124,32 @@ def generate_sequences(
     bounds = [round(F * (s + 1) / n_seg) for s in range(n_seg)]
     f_starts = [0] + bounds[:-1]
 
-    seg0_len = P + bounds[0] * (V + A)
+    shared = None
     if shared_prefix is not None:
-        # ---- prefill unique prefixes, then tile the cache to the batch ----
+        # ---- prefill unique prefixes; the B_u-row cache IS the shared cache
         B_u = shared_prefix.shape[0]
-        cache_u = wm.init_cache(B_u, seg0_len)
-        _, _, cache_u = wm.apply(
-            wm_params, shared_prefix, cache=cache_u, cache_index=0,
+        shared = wm.init_cache(B_u, P0)
+        _, _, shared = wm.apply(
+            wm_params, shared_prefix, cache=shared, cache_index=0,
             logits_last_only=True,
         )
-        cache = tuple(jnp.take(a, prefix_map, axis=1) for a in cache_u)
-        # per-row tails continue at position P0 (kv_lens covers the prefix)
+        # per-row cache holds only the tail + response positions
+        own_len0 = (P - P0) + bounds[0] * (V + A)
+        cache = wm.init_cache(B, own_len0)
         kv_lens = jnp.full((B,), P, jnp.int32)
         logits, _, cache = wm.apply(
-            wm_params, input_ids, cache=cache, cache_index=P0,
-            kv_lens=kv_lens, logits_last_only=True,
+            wm_params, input_ids, cache=cache, cache_index=P0, kv_lens=kv_lens,
+            logits_last_only=True, shared_cache=shared, shared_len=P0,
+            prefix_map=prefix_map,
         )
     else:
-        cache = wm.init_cache(B, seg0_len)
+        cache = wm.init_cache(B, P + bounds[0] * (V + A))
         # ---- prefill the prompt (logits only at the last position) ----
         logits, _, cache = wm.apply(
             wm_params, input_ids, cache=cache, cache_index=0, logits_last_only=True
         )
     last_logits = logits[:, -1]  # (B, vocab)
+    shared_kw = dict(shared_cache=shared, shared_len=P0, prefix_map=prefix_map)
 
     def frame_step(carry, f):
         cache, last_logits, key = carry
@@ -155,7 +162,8 @@ def generate_sequences(
                 sub, last_logits, cfg.temperature, cfg.top_k, cfg.top_p, cfg.do_sample
             )  # (B,)
             step_logits, _, cache = wm.apply(
-                wm_params, tok[:, None], cache=cache, cache_index=base + i
+                wm_params, tok[:, None], cache=cache, cache_index=base + i,
+                **shared_kw,
             )
             return (cache, step_logits[:, 0], key), tok
 
@@ -166,7 +174,7 @@ def generate_sequences(
         # teacher-force the policy's action tokens for frame f+1
         act = jax.lax.dynamic_index_in_dim(action_ids, f + 1, axis=1, keepdims=False)
         act_logits, _, cache = wm.apply(
-            wm_params, act, cache=cache, cache_index=base + V
+            wm_params, act, cache=cache, cache_index=base + V, **shared_kw
         )
         last_logits = act_logits[:, -1]
         frame_tokens = jnp.concatenate([vis_toks.T, act], axis=1)  # (B, V+A)
@@ -176,7 +184,7 @@ def generate_sequences(
     carry = (cache, last_logits, rng)
     frame_chunks = []
     for f0, f1 in zip(f_starts, bounds):
-        cache = grow_cache(carry[0], P + f1 * (V + A), align)
+        cache = grow_cache(carry[0], (P - P0) + f1 * (V + A), align)
         carry = (cache,) + carry[1:]
         carry, frames_s = jax.lax.scan(frame_step, carry, jnp.arange(f0, f1))
         frame_chunks.append(frames_s)  # (f1-f0, B, V+A)
