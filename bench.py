@@ -40,9 +40,10 @@ def main():
     n_devices = len(jax.devices())
     c = vla_rft_default_config()
     # per-chip slice of the reference run: 4 GPUs x (bs 16 x n 16) = 64 seqs/GPU.
-    # One v5e chip: B=2 unique x n=16 = 32 sequences (HBM-bound by the WM KV
-    # cache; the reference's A100s have 40/80GB).
-    c.data.train_batch_size = 2 * n_devices
+    # One v5e chip: B=4 unique x n=16 = 64 sequences — the split-cache decode
+    # freed ~4GB of KV-cache HBM, so a v5e now matches the reference's
+    # per-GPU sequence count (BENCH_TB overrides; 2 was the pre-split value).
+    c.data.train_batch_size = int(os.environ.get("BENCH_TB", 4)) * n_devices
     c.actor_rollout_ref.rollout.n = 16
     c.actor_rollout_ref.actor.ppo_mini_batch_size = 16
     c.actor_rollout_ref.actor.ppo_micro_batch_size_per_gpu = 8

@@ -295,3 +295,31 @@ def test_lpips_converter_shapes():
         assert ref_flat[k] == got_flat[k], k
     d = lp.apply(jax.tree_util.tree_map(jnp.asarray, got), x, x)
     np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+def test_export_decoder_roundtrip():
+    """export_hf_decoder is the exact inverse of convert_hf_decoder
+    (model_merger.py analog: trained flax params -> HF state dict)."""
+    from tools.export_weights import export_hf_decoder
+
+    cfg = TransformerConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32, num_layers=2,
+        num_heads=4, num_kv_heads=2, qkv_bias=True, dtype=jnp.float32,
+        param_dtype=jnp.float32,
+    )
+    dec = Decoder(cfg)
+    params = dec.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32))
+    sd = export_hf_decoder(params, cfg)
+    back = convert_hf_decoder(sd, cfg)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(back)
+    )
+    assert len(flat_a) == len(flat_b)
+    for p, v in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_b[jax.tree_util.keystr(p)]), atol=0,
+            err_msg=jax.tree_util.keystr(p),
+        )

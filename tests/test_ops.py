@@ -403,3 +403,54 @@ def test_decode_attention_shared_packed_int8():
         q_offset=shared_valid + own_lens - Sq, impl="xla",
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.03, rtol=0.03)
+
+
+def test_decode_attention_shared_block_b():
+    """Vectorized batch blocks (block_b>1) match per-row grid exactly —
+    including per-row own-cache lengths and packed+int8."""
+    from vla_rft_tpu.models.transformer import pack_kv_heads
+    from vla_rft_tpu.ops.decode_attention import decode_attention_shared
+
+    rng = np.random.default_rng(37)
+    L, B, Bu, Hkv, G, Sp, Sr, D = 2, 8, 2, 2, 1, 48, 32, 32
+    pm = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1], jnp.int32)
+    sck = jnp.asarray(rng.normal(size=(L, Bu, Hkv, Sp, D)), jnp.float32) * 0.3
+    scv = jnp.asarray(rng.normal(size=(L, Bu, Hkv, Sp, D)), jnp.float32)
+    ck = jnp.asarray(rng.normal(size=(L, B, Hkv, Sr, D)), jnp.float32) * 0.3
+    cv = jnp.asarray(rng.normal(size=(L, B, Hkv, Sr, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hkv * G, D)), jnp.float32) * 0.3
+    own_lens = jnp.asarray([1, 5, 9, 13, 17, 21, 25, 32], jnp.int32)
+    ref = decode_attention_shared(
+        q, ck, cv, sck, scv, jnp.asarray(1), own_lens, pm, shared_valid=40,
+        interpret=True, block_b=1,
+    )
+    for bb in (2, 4):
+        out = decode_attention_shared(
+            q, ck, cv, sck, scv, jnp.asarray(1), own_lens, pm, shared_valid=40,
+            interpret=True, block_b=bb,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    # packed int8 variant
+    def q8(x):
+        s = np.maximum(np.abs(x).max(-1) / 127.0, 1e-8)
+        return np.clip(np.round(x / s[..., None]), -127, 127).astype(np.int8), s
+
+    ski, sks = q8(np.asarray(sck))
+    svi, svs = q8(np.asarray(scv))
+    oki, oks = q8(np.asarray(ck))
+    ovi, ovs = q8(np.asarray(cv))
+    args = (
+        q, pack_kv_heads(jnp.asarray(oki)), pack_kv_heads(jnp.asarray(ovi)),
+        pack_kv_heads(jnp.asarray(ski)), pack_kv_heads(jnp.asarray(svi)),
+        jnp.asarray(1), own_lens, pm,
+    )
+    kw = dict(
+        shared_valid=40,
+        scales=(jnp.asarray(oks, jnp.float32), jnp.asarray(ovs, jnp.float32)),
+        shared_scales=(jnp.asarray(sks, jnp.float32), jnp.asarray(svs, jnp.float32)),
+        interpret=True,
+    )
+    ref8 = decode_attention_shared(*args, **kw, block_b=1)
+    out8 = decode_attention_shared(*args, **kw, block_b=4)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(ref8), atol=1e-5)

@@ -25,13 +25,16 @@ def main():
     ap.add_argument("--segs", type=int, nargs="+", default=[1, 4])
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--kv-dtype", default="int8")
+    ap.add_argument("--block-b", type=int, default=1)
     ap.add_argument(
         "--uniques", type=int, default=0,
         help="shared-prefix prefill with this many unique prompt heads (0 = off)",
     )
     args = ap.parse_args()
 
-    cfg = TransformerConfig.wm_llama(kv_cache_dtype=args.kv_dtype)
+    cfg = TransformerConfig.wm_llama(
+        kv_cache_dtype=args.kv_dtype, decode_block_b=args.block_b
+    )
     wm = Decoder(cfg)
     roll = WMRolloutConfig()
 

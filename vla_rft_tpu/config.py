@@ -141,6 +141,8 @@ def vla_rft_default_config() -> Config:
                 "use_img_gt_ac": True,
                 "interact": True,
                 "tokenizer": {"name": "ctx_cnn", "path": None},
+                # 8-seq reward chunks: 16 OOMs at train_batch_size 4/chip
+                # (VGG+cond-decoder pyramids alongside resident params)
                 "tokenizer_micro_batch_size": 8,
                 "context_length": 1,
                 "action_dim": 7,
@@ -222,9 +224,10 @@ def vla_rft_default_config() -> Config:
                 "rollout": {
                     "w_gt_ac": True,
                     "is_validate": True,
-                    # 64 = policy+gt branches of a 32-seq step in ONE decode
-                    # call (packed int8 cache ~87MB/seq: 64 seqs fit v5e HBM)
-                    "micro_batch_size": 64,
+                    # 128 = policy+gt branches of a 64-seq step in ONE
+                    # decode call (split-cache: own cache ~20MB/seq int8
+                    # packed; B=128 measured 144 frames/s vs 120 at B=64)
+                    "micro_batch_size": 128,
                     "name": "scan",  # reference: vLLM; here lax.scan decode
                     "temperature": 1.0,
                     "top_k": -1,
@@ -237,7 +240,11 @@ def vla_rft_default_config() -> Config:
                     # valid-prefix KV bounding: frame loop split into this
                     # many statically-sized cache segments (perf-neutral
                     # semantics; see wm_rollout.generate_sequences)
-                    "cache_segments": 4,
+                    "cache_segments": 8,
+                    # rows per split-cache decode-kernel iteration (must
+                    # divide rollout.n; amortizes per-iteration latency —
+                    # measured B=128: bb=1 144, bb=2 164, bb=4 156, bb=8 131 f/s)
+                    "decode_block_b": 2,
                     "val_kwargs": {"top_k": -1, "top_p": 0.8, "temperature": 1.0},
                 },
             },

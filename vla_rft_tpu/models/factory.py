@@ -137,6 +137,9 @@ def build_models(config, preset: str = "libero") -> ModelBundle:
         # 2.4x WM rollout throughput. Rollout-only approximation; logprob
         # paths use full forwards, so PPO math is exact.
         kv_cache_dtype="int8",
+        # vectorize 2 rollout rows per decode-kernel iteration (divides n=16;
+        # see TransformerConfig.decode_block_b; bb=2 measured fastest)
+        decode_block_b=int(config.world_model_rollout.rollout.get("decode_block_b", 2)),
     )
     # bf16 compute matches the reference's autocast (fsdp_workers.py:1732,
     # processor batch_forward autocast) and halves reward-stage time

@@ -57,6 +57,11 @@ class TransformerConfig:
     # sharded over. Only used under shard_map (full forward, no cache); the
     # all-to-all swaps seq<->heads around attention (ulysses.py parity).
     ulysses_axis: Optional[str] = None
+    # batch rows vectorized per iteration of the split-cache decode kernel.
+    # ONLY safe when every block_b consecutive rows share a prefix_map entry
+    # (the GRPO rollout groups the n rollouts of a sample contiguously, so
+    # any value dividing n works). 1 = one row per iteration.
+    decode_block_b: int = 1
 
     @property
     def hd(self) -> int:
@@ -262,6 +267,7 @@ class Attention(nn.Module):
                         shared_valid=shared_len,
                         scales=(sk, sv) if int8_cache else None,
                         shared_scales=(ssk, ssv) if int8_cache else None,
+                        block_b=cfg.decode_block_b,
                     )
                 else:
                     # XLA fallback (CPU tests / large S): gather each row's
