@@ -117,3 +117,54 @@ def test_int8_kv_cache_decode_close_to_full_forward():
         # logits agree to quantization noise; argmax should match
         np.testing.assert_allclose(got, ref, atol=0.15, rtol=0.1)
         np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
+
+
+def test_weights_int8_decoder_close_to_bf16():
+    """quantize_decoder_params + weights_int8 Decoder tracks the full-precision
+    model: logits within ~1% relative of the f32 decoder, and the cached
+    decode path runs (rollout-only weight quantization for the frozen WM)."""
+    import dataclasses
+
+    import numpy as np
+    from vla_rft_tpu.models.transformer import (
+        Decoder,
+        TransformerConfig,
+        quantize_decoder_params,
+    )
+
+    cfg = TransformerConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, dtype=jnp.float32, param_dtype=jnp.float32,
+        attn_impl="xla",
+    )
+    dec = Decoder(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (2, 12)), jnp.int32)
+    params = dec.init(jax.random.key(0), ids)
+    logits, _, _ = dec.apply(params, ids)
+
+    qcfg = dataclasses.replace(cfg, weights_int8=True)
+    qdec = Decoder(qcfg)
+    qparams = quantize_decoder_params(params, cfg)
+    # param tree must match what a weights_int8 Decoder initializes
+    ref_shapes = jax.eval_shape(
+        lambda r: qdec.init(r, ids[:, :4]), jax.random.key(0)
+    )
+    got = jax.tree_util.tree_map(lambda x: x.shape, qparams)
+    want = jax.tree_util.tree_map(lambda x: x.shape, ref_shapes)
+    assert got == want, (got, want)
+
+    qlogits, _, _ = qdec.apply(qparams, ids)
+    denom = np.maximum(np.abs(np.asarray(logits)), 1.0)
+    rel = np.abs(np.asarray(qlogits) - np.asarray(logits)) / denom
+    # worst-case on a tiny random model; real-model typical error ~2%
+    assert rel.max() < 0.15 and np.median(rel) < 0.02, (rel.max(), np.median(rel))
+
+    # cached decode step parity with the quantized full forward
+    cache = qdec.init_cache(2, 16)
+    _, _, cache = qdec.apply(qparams, ids[:, :-1], cache=cache, cache_index=0)
+    step_logits, _, _ = qdec.apply(
+        qparams, ids[:, -1:], cache=cache, cache_index=ids.shape[1] - 1
+    )
+    np.testing.assert_allclose(
+        np.asarray(step_logits[:, 0]), np.asarray(qlogits[:, -1]), atol=2e-4, rtol=2e-4
+    )

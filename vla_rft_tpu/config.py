@@ -245,6 +245,9 @@ def vla_rft_default_config() -> Config:
                     # divide rollout.n; amortizes per-iteration latency —
                     # measured B=128: bb=1 144, bb=2 164, bb=4 156, bb=8 131 f/s)
                     "decode_block_b": 2,
+                    # int8 WM weights for the (frozen) rollout model —
+                    # halves decode weight reads; logprob paths stay bf16
+                    "weights_int8": False,
                     "val_kwargs": {"top_k": -1, "top_p": 0.8, "temperature": 1.0},
                 },
             },

@@ -62,6 +62,11 @@ class TransformerConfig:
     # (the GRPO rollout groups the n rollouts of a sample contiguously, so
     # any value dividing n works). 1 = one row per iteration.
     decode_block_b: int = 1
+    # int8 per-output-channel weights for every matmul (QuantDenseGeneral):
+    # halves the decode loop's weight reads. Params must come from
+    # quantize_decoder_params; meant for a FROZEN rollout model (the WM) —
+    # training paths keep bf16.
+    weights_int8: bool = False
 
     @property
     def hd(self) -> int:
@@ -143,6 +148,105 @@ def unpack_kv_heads(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ------------------------------------------------------------------ building blocks
+class QuantDenseGeneral(nn.Module):
+    """DenseGeneral with an int8 per-output-channel kernel (+bf16 scales).
+
+    Decode is weight-read-bound (0.84GB/step bf16 at WM sizes); int8 halves
+    the reads and the convert(int8->bf16) feeds the MXU directly (fused by
+    XLA), so the dequant multiply rides the tiny activation instead of the
+    weight.  Used when TransformerConfig.weights_int8 — the WM is FROZEN in
+    RFT, so quantization happens once at setup (quantize_decoder_params),
+    not per step.  Param layout: kernel (in_total, out_total) int8, scale
+    (out_total,) bf16, bias (features...) optional."""
+
+    features: Tuple[int, ...]
+    axis: Tuple[int, ...] = (-1,)
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        import numpy as _npmod
+
+        feats = self.features
+        n_contract = len(self.axis)
+        in_total = int(_npmod.prod(x.shape[-n_contract:]))
+        out_total = int(_npmod.prod(feats))
+        kernel = self.param(
+            "kernel", nn.initializers.zeros, (in_total, out_total), jnp.int8
+        )
+        scale = self.param("scale", nn.initializers.ones, (out_total,), jnp.bfloat16)
+        lead = x.shape[: x.ndim - n_contract]
+        y = jax.lax.dot_general(
+            x.reshape(*lead, in_total).astype(self.dtype),
+            kernel.astype(self.dtype),
+            (((len(lead),), (0,)), ((), ())),
+        )
+        y = y * scale.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (out_total,), jnp.bfloat16)
+            y = y + bias.astype(self.dtype)
+        return y.reshape(*lead, *feats)
+
+
+def quantize_decoder_params(params, cfg: "TransformerConfig"):
+    """bf16 Decoder params -> the int8 tree a weights_int8 Decoder expects.
+
+    Per-output-channel symmetric quantization of every matmul kernel
+    (attention projections re-flattened to 2D); norms/embedding stay as-is.
+    """
+    import numpy as np
+
+    p = params["params"] if "params" in params else params
+
+    def quant2d(w):
+        w = np.asarray(jax.device_get(w), np.float32)
+        w2 = w.reshape(w.shape[0], -1) if w.ndim == 2 else w
+        s = np.maximum(np.abs(w2).max(axis=0) / 127.0, 1e-10)
+        q = np.clip(np.round(w2 / s), -127, 127).astype(np.int8)
+        return q, s.astype(np.float32)
+
+    L = cfg.num_layers
+    nh, nkv, hd, D = cfg.num_heads, cfg.num_kv_heads, cfg.hd, cfg.hidden_size
+    layers = p["layers"]
+    attn, mlp = layers["self_attn"], layers["mlp"]
+
+    def quant_stacked(node, reshape):
+        """node['kernel']: (L, ...) -> per-layer 2D quantization."""
+        ks, ss = [], []
+        for i in range(L):
+            q, s = quant2d(reshape(np.asarray(jax.device_get(node["kernel"][i]), np.float32)))
+            ks.append(q)
+            ss.append(s)
+        out = {
+            "kernel": jnp.asarray(np.stack(ks)),
+            "scale": jnp.asarray(np.stack(ss), jnp.bfloat16),
+        }
+        if "bias" in node:
+            b = np.asarray(jax.device_get(node["bias"]), np.float32)
+            out["bias"] = jnp.asarray(b.reshape(L, -1), jnp.bfloat16)
+        return out
+
+    new_layers = {
+        "input_layernorm": layers["input_layernorm"],
+        "post_attention_layernorm": layers["post_attention_layernorm"],
+        "self_attn": {
+            "q_proj": quant_stacked(attn["q_proj"], lambda w: w.reshape(D, nh * hd)),
+            "k_proj": quant_stacked(attn["k_proj"], lambda w: w.reshape(D, nkv * hd)),
+            "v_proj": quant_stacked(attn["v_proj"], lambda w: w.reshape(D, nkv * hd)),
+            "o_proj": quant_stacked(attn["o_proj"], lambda w: w.reshape(nh * hd, D)),
+        },
+        "mlp": {
+            name: quant_stacked(mlp[name], lambda w: w) for name in ("gate_proj", "up_proj", "down_proj")
+        },
+    }
+    out = {"embed_tokens": p["embed_tokens"], "layers": new_layers, "norm": p["norm"]}
+    if "lm_head" in p:
+        q, s = quant2d(p["lm_head"]["kernel"])
+        out["lm_head"] = {"kernel": jnp.asarray(q), "scale": jnp.asarray(s, jnp.bfloat16)}
+    return {"params": out}
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-6
     param_dtype: Any = jnp.bfloat16
@@ -192,10 +296,15 @@ class Attention(nn.Module):
         ~2/3 of the positions at LIBERO shapes)."""
         cfg = self.cfg
         hd, nh, nkv = cfg.hd, cfg.num_heads, cfg.num_kv_heads
-        dense = lambda feats, name, bias: nn.DenseGeneral(
-            feats, axis=-1, use_bias=bias, dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype, name=name,
-        )
+        if cfg.weights_int8:
+            dense = lambda feats, name, bias: QuantDenseGeneral(
+                feats, axis=(-1,), use_bias=bias, dtype=cfg.dtype, name=name
+            )
+        else:
+            dense = lambda feats, name, bias: nn.DenseGeneral(
+                feats, axis=-1, use_bias=bias, dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, name=name,
+            )
         B, S, _ = x.shape
         q = dense((nh, hd), "q_proj", cfg.qkv_bias)(x)
         k = dense((nkv, hd), "k_proj", cfg.qkv_bias)(x)
@@ -359,10 +468,15 @@ class Attention(nn.Module):
                 q, k, v, causal=causal, kv_lens=kv_lens, kv_starts=kv_starts,
                 impl=cfg.attn_impl,
             )
-        out = nn.DenseGeneral(
-            cfg.hidden_size, axis=(-2, -1), use_bias=False, dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype, name="o_proj",
-        )(out)
+        if cfg.weights_int8:
+            out = QuantDenseGeneral(
+                (cfg.hidden_size,), axis=(-2, -1), dtype=cfg.dtype, name="o_proj"
+            )(out)
+        else:
+            out = nn.DenseGeneral(
+                cfg.hidden_size, axis=(-2, -1), use_bias=False, dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, name="o_proj",
+            )(out)
         return out, new_cache
 
 
@@ -372,9 +486,13 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        d = lambda f, name: nn.Dense(
-            f, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name
-        )
+        if cfg.weights_int8:
+            d = lambda f, name: QuantDenseGeneral((f,), dtype=cfg.dtype, name=name)
+        else:
+            d = lambda f, name: nn.Dense(
+                f, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                name=name,
+            )
         gate = d(cfg.intermediate_size, "gate_proj")(x)
         up = d(cfg.intermediate_size, "up_proj")(x)
         return d(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
@@ -495,6 +613,10 @@ class Decoder(nn.Module):
             xl = x[:, -1:] if logits_last_only else x
             if cfg.tie_word_embeddings:
                 logits = embed.attend(xl.astype(cfg.dtype))
+            elif cfg.weights_int8:
+                logits = QuantDenseGeneral(
+                    (cfg.vocab_size,), dtype=cfg.dtype, name="lm_head"
+                )(xl)
             else:
                 logits = nn.Dense(
                     cfg.vocab_size, use_bias=False, dtype=cfg.dtype,

@@ -83,7 +83,9 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        x = jax.image.resize(x, (B, 2 * H, 2 * W, C), method="nearest")
+        # exact-2x nearest upsample as repeat (broadcast+reshape) — the
+        # jax.image.resize gather lowering is slow at 256^2 on TPU
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 

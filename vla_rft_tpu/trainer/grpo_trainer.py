@@ -141,6 +141,14 @@ class VLARFTGRPOTrainer:
             else None
         )
 
+    def _wm_gen_params(self):
+        """Params for the WM ROLLOUT only: the int8-quantized tree when
+        weights_int8 is on (frozen WM, quantized once at setup), else the
+        bf16 tree shared with the logprob paths."""
+        if self._wm_gen_params_override is not None:
+            return self._wm_gen_params_override
+        return self.params["wm"]
+
     # --------------------------------------------------------------- stage fns
     def _build_stage_fns(self):
         b = self.bundle
@@ -217,13 +225,31 @@ class VLARFTGRPOTrainer:
 
         roll_cfg = b.wm_roll_cfg
 
+        # the WM is frozen in RFT: optionally quantize its weights once at
+        # setup and decode with the int8 model (halved weight reads; logprob
+        # paths keep the bf16 tree, so PPO math is exact)
+        wm_gen_model = b.wm
+        self._wm_gen_params_override = None
+        if cfg.world_model_rollout.rollout.get("weights_int8", False):
+            import dataclasses as _dc
+
+            from vla_rft_tpu.models.transformer import (
+                Decoder as _Decoder,
+                quantize_decoder_params,
+            )
+
+            wm_gen_model = _Decoder(_dc.replace(b.wm_cfg, weights_int8=True))
+            self._wm_gen_params_override = shard_params_fsdp(
+                self.mesh, quantize_decoder_params(self.params["wm"], b.wm_cfg)
+            )
+
         @jax.jit
         def wm_gen_fn(wm_params, rng, shared_prefix, prefix_map, prompt_tails, action_ids):
             # shared-prefix prefill: all rollouts/branches of a sample share
             # the prompt's ctx+dyn_0 head; only the 7 action-token tail
             # differs per row (see wm_rollout.generate_sequences)
             return wm_rollout.generate_sequences(
-                b.wm, wm_params, rng, prompt_tails, action_ids, roll_cfg,
+                wm_gen_model, wm_params, rng, prompt_tails, action_ids, roll_cfg,
                 shared_prefix=shared_prefix, prefix_map=prefix_map,
             )
 
@@ -455,7 +481,7 @@ class VLARFTGRPOTrainer:
                             uniq, local = np.unique(pm_all[sl], return_inverse=True)
                             outs.append(
                                 self._wm_gen(
-                                    self.params["wm"], jax.random.fold_in(rng_base, ci),
+                                    self._wm_gen_params(), jax.random.fold_in(rng_base, ci),
                                     prefix_unique[uniq], jnp.asarray(local, jnp.int32),
                                     tails_all[sl], actions_all[sl],
                                 )
@@ -629,12 +655,12 @@ class VLARFTGRPOTrainer:
             p0 = b.wm_roll_cfg.prompt_length - b.proc_cfg.action_dim
             pm = jnp.arange(prompt.shape[0] // n, dtype=jnp.int32).repeat(n)
             responses = self._wm_gen(
-                self.params["wm"], r_wm, prompt[::n, :p0], pm, prompt[:, p0:],
+                self._wm_gen_params(), r_wm, prompt[::n, :p0], pm, prompt[:, p0:],
                 wm_inputs["action_ids"],
             )
             gt_responses = (
                 self._wm_gen(
-                    self.params["wm"], r_wm_gt, prompt[::n, :p0], pm, prompt[:, p0:],
+                    self._wm_gen_params(), r_wm_gt, prompt[::n, :p0], pm, prompt[:, p0:],
                     wm_inputs["gt_action_ids"],
                 )
                 if use_gt_ac
