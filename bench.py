@@ -46,7 +46,9 @@ def main():
     c.data.train_batch_size = int(os.environ.get("BENCH_TB", 4)) * n_devices
     c.actor_rollout_ref.rollout.n = 16
     c.actor_rollout_ref.actor.ppo_mini_batch_size = 16
-    c.actor_rollout_ref.actor.ppo_micro_batch_size_per_gpu = 8
+    # expert-only grads are tiny: 16/chip halves the update stage's fixed
+    # costs vs the reference's 8/GPU (a per-device perf knob, not semantics)
+    c.actor_rollout_ref.actor.ppo_micro_batch_size_per_gpu = 16
     c.actor_rollout_ref.rollout.log_prob_micro_batch_size_per_gpu = 16
     c.trainer.total_training_steps = 400
     c.trainer.logger = []
@@ -58,17 +60,20 @@ def main():
     batch = trainer.dataset.next_batch()
     rng = jax.random.key(0)
 
-    # warmup / compile
+    # warmup / compile (prefetches the first timed batch like fit() does)
     t0 = time.time()
-    trainer.training_step(batch, rng)
+    trainer.training_step(batch, rng, next_batch_np=trainer.dataset.next_batch())
     compile_s = time.time() - t0
 
     times = []
     metrics = {}
     for i in range(2):
-        batch = trainer.dataset.next_batch()
+        batch = trainer._prefetched_batch
         t0 = time.time()
-        metrics = trainer.training_step(batch, jax.random.fold_in(rng, i))
+        metrics = trainer.training_step(
+            batch, jax.random.fold_in(rng, i),
+            next_batch_np=trainer.dataset.next_batch(),
+        )
         times.append(time.time() - t0)
     step_s = float(np.min(times))
 

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--kv-dtype", default="int8")
     ap.add_argument("--block-b", type=int, default=1)
+    ap.add_argument("--weights-int8", action="store_true")
     ap.add_argument(
         "--uniques", type=int, default=0,
         help="shared-prefix prefill with this many unique prompt heads (0 = off)",
@@ -53,6 +54,16 @@ def main():
 
     params = jax.tree_util.tree_map_with_path(materialize, shapes)
     print(f"[init params] {time.time()-t0:.1f}s", flush=True)
+
+    if args.weights_int8:
+        import dataclasses as _dc
+
+        from vla_rft_tpu.models.transformer import quantize_decoder_params
+
+        params = quantize_decoder_params(params, cfg)
+        cfg = _dc.replace(cfg, weights_int8=True)
+        wm = Decoder(cfg)
+        print("[weights quantized to int8]", flush=True)
 
     B = args.batch
     rng = np.random.default_rng(0)

@@ -110,6 +110,7 @@ class VLARFTGRPOTrainer:
         self.action_ranges = jnp.asarray(action_ranges)
         self.ckpt = CheckpointManager(config.trainer.default_local_dir)
         self.global_steps = 0
+        self._prefetched_batch = None
         self.total_training_steps = config.trainer.total_training_steps
         self._seed = seed if seed is not None else config.trainer.get("seed", 0)
 
@@ -363,8 +364,20 @@ class VLARFTGRPOTrainer:
             outs.append(fn(*args, {k: v[i : i + size] for k, v in batch.items()}))
         return jnp.concatenate(outs, axis=0)
 
+    def put_batch(self, batch_np: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Async host->device upload + mesh sharding of a data batch.  Call
+        on batch i+1 right after launching step i so the (relay-slow)
+        transfer overlaps compute; training_step accepts either numpy or the
+        pre-uploaded result."""
+        return shard_batch(self.mesh, {k: jnp.asarray(v) for k, v in batch_np.items()})
+
     # ----------------------------------------------------------- training step
-    def training_step(self, batch_np: Dict[str, np.ndarray], rng: jax.Array):
+    def training_step(
+        self,
+        batch_np: Dict[str, np.ndarray],
+        rng: jax.Array,
+        next_batch_np: Optional[Dict[str, np.ndarray]] = None,
+    ):
         cfg = self.config
         b = self.bundle
         actor_cfg = cfg.actor_rollout_ref.actor
@@ -376,7 +389,10 @@ class VLARFTGRPOTrainer:
         r_noise, r_roll, r_wm, r_wm_gt, r_shuffle = jax.random.split(rng, 5)
 
         with timer("step", timing):
-            batch = shard_batch(self.mesh, {k: jnp.asarray(v) for k, v in batch_np.items()})
+            already_up = all(
+                isinstance(v, jax.Array) for v in batch_np.values()
+            )
+            batch = batch_np if already_up else self.put_batch(batch_np)
             gt_actions = batch["actions"]
             B = gt_actions.shape[0]
 
@@ -389,6 +405,10 @@ class VLARFTGRPOTrainer:
                     "pixels": batch["pixel_values"],
                 }
                 hidden_unique = self._encode(self.params["vla"], enc_batch)
+                if next_batch_np is not None:
+                    # launch batch i+1's (relay-slow) upload behind the
+                    # dispatched encode so it overlaps this step's compute
+                    self._prefetched_batch = self.put_batch(next_batch_np)
                 _sync(hidden_unique)
             _vlog("encode_context done")
             hidden = jnp.repeat(hidden_unique, n, axis=0)
@@ -732,10 +752,17 @@ class VLARFTGRPOTrainer:
         rng = jax.random.key(self._seed + 1)
         test_freq = cfg.trainer.get("test_freq", -1)
         self.global_steps += 1
+        batch = self.dataset.next_batch()
+        self._prefetched_batch = None
         while self.global_steps <= self.total_training_steps:
-            batch = self.dataset.next_batch()
+            nxt = (
+                self.dataset.next_batch()
+                if self.global_steps < self.total_training_steps
+                else None
+            )
             rng, step_rng = jax.random.split(rng)
-            metrics = self.training_step(batch, step_rng)
+            metrics = self.training_step(batch, step_rng, next_batch_np=nxt)
+            batch = self._prefetched_batch if nxt is not None else None
             if test_freq > 0 and self.global_steps % test_freq == 0:
                 metrics.update(self.validate())
             logger.log(metrics, self.global_steps)

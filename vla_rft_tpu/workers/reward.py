@@ -108,12 +108,27 @@ def msp_reward(
         detok = lambda v: tokenizer.apply(
             tok_params, ctx_raw, v, method=tokenizer.detokenize
         )[:, 1:]  # drop decoded ctx frame
-    pred = jnp.clip(detok(vis), 0.0, 1.0)
-
     if gt_responses is not None:
+        # one decoder call for both branches: same FLOPs, 2x batch (the
+        # conv decoder runs at higher MXU utilization; the reference
+        # detokenizes each branch separately, fsdp_workers.py:1791)
         gt_vis = split_response_tokens(proc_cfg, gt_responses, F)
-        real = jnp.clip(detok(gt_vis), 0.0, 1.0)
+        both_vis = jnp.concatenate([vis, gt_vis], axis=0)
+        if ctx_feats is not None:
+            feats2 = [jnp.concatenate([f, f], axis=0) for f in feats]
+            both = tokenizer.apply(
+                tok_params, both_vis, feats2, method=tokenizer.detokenize_dyn
+            )
+        else:
+            ctx2 = jnp.concatenate([ctx_raw, ctx_raw], axis=0)
+            both = tokenizer.apply(
+                tok_params, ctx2, both_vis, method=tokenizer.detokenize
+            )[:, 1:]
+        both = jnp.clip(both, 0.0, 1.0)
+        B_ = vis.shape[0]
+        pred, real = both[:B_], both[B_:]
     else:
+        pred = jnp.clip(detok(vis), 0.0, 1.0)
         assert real_frames is not None
         real = real_frames
 
