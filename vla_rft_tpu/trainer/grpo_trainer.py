@@ -144,11 +144,20 @@ class VLARFTGRPOTrainer:
 
     def _wm_gen_params(self):
         """Params for the WM ROLLOUT only: the int8-quantized tree when
-        weights_int8 is on (frozen WM, quantized once at setup), else the
-        bf16 tree shared with the logprob paths."""
-        if self._wm_gen_params_override is not None:
-            return self._wm_gen_params_override
-        return self.params["wm"]
+        weights_int8 is on (quantized lazily from whatever bf16 tree is
+        current, so loading pretrained weights after construction works),
+        else the bf16 tree shared with the logprob paths."""
+        if not self._use_wm_int8:
+            return self.params["wm"]
+        if getattr(self, "_wm_q_src", None) is not self.params["wm"]:
+            from vla_rft_tpu.models.transformer import quantize_decoder_params
+
+            self._wm_gen_params_override = shard_params_fsdp(
+                self.mesh,
+                quantize_decoder_params(self.params["wm"], self.bundle.wm_cfg),
+            )
+            self._wm_q_src = self.params["wm"]
+        return self._wm_gen_params_override
 
     # --------------------------------------------------------------- stage fns
     def _build_stage_fns(self):
@@ -226,23 +235,19 @@ class VLARFTGRPOTrainer:
 
         roll_cfg = b.wm_roll_cfg
 
-        # the WM is frozen in RFT: optionally quantize its weights once at
-        # setup and decode with the int8 model (halved weight reads; logprob
-        # paths keep the bf16 tree, so PPO math is exact)
+        # the WM is frozen in RFT: optionally quantize its weights once and
+        # decode with the int8 model (halved weight reads; logprob paths
+        # keep the bf16 tree, so PPO math is exact).  Quantization happens
+        # LAZILY on first rollout so pretrained weights loaded after
+        # __init__ (main_vla_rft_grpo._maybe_load_pretrained) are honored.
         wm_gen_model = b.wm
-        self._wm_gen_params_override = None
-        if cfg.world_model_rollout.rollout.get("weights_int8", False):
+        self._use_wm_int8 = bool(cfg.world_model_rollout.rollout.get("weights_int8", False))
+        if self._use_wm_int8:
             import dataclasses as _dc
 
-            from vla_rft_tpu.models.transformer import (
-                Decoder as _Decoder,
-                quantize_decoder_params,
-            )
+            from vla_rft_tpu.models.transformer import Decoder as _Decoder
 
             wm_gen_model = _Decoder(_dc.replace(b.wm_cfg, weights_int8=True))
-            self._wm_gen_params_override = shard_params_fsdp(
-                self.mesh, quantize_decoder_params(self.params["wm"], b.wm_cfg)
-            )
 
         @jax.jit
         def wm_gen_fn(wm_params, rng, shared_prefix, prefix_map, prompt_tails, action_ids):

@@ -98,33 +98,31 @@ def msp_reward(
     F = reward_cfg.num_frames
     vis = split_response_tokens(proc_cfg, responses, F)  # (B, F, 64)
 
-    if ctx_feats is not None:
-        feats = [jnp.take(f, ctx_map, axis=0) for f in ctx_feats]
-        detok = lambda v: tokenizer.apply(
-            tok_params, v, feats, method=tokenizer.detokenize_dyn
-        )
-    else:
+    def detok(v):
+        """FSQ-decode dynamics tokens (any batch size that is a multiple of
+        B row-wise: ctx features / ctx tokens tile to match)."""
+        reps = v.shape[0] // vis.shape[0]
+        if ctx_feats is not None:
+            feats = [
+                jnp.concatenate([jnp.take(f, ctx_map, axis=0)] * reps, axis=0)
+                for f in ctx_feats
+            ]
+            return tokenizer.apply(
+                tok_params, v, feats, method=tokenizer.detokenize_dyn
+            )
         ctx_raw = ctx_tokens - proc_cfg.visual_token_num  # un-offset for FSQ
-        detok = lambda v: tokenizer.apply(
-            tok_params, ctx_raw, v, method=tokenizer.detokenize
-        )[:, 1:]  # drop decoded ctx frame
+        ctx_r = jnp.concatenate([ctx_raw] * reps, axis=0)
+        # [:, 1:] drops the decoded ctx frame
+        return tokenizer.apply(
+            tok_params, ctx_r, v, method=tokenizer.detokenize
+        )[:, 1:]
+
     if gt_responses is not None:
         # one decoder call for both branches: same FLOPs, 2x batch (the
         # conv decoder runs at higher MXU utilization; the reference
         # detokenizes each branch separately, fsdp_workers.py:1791)
         gt_vis = split_response_tokens(proc_cfg, gt_responses, F)
-        both_vis = jnp.concatenate([vis, gt_vis], axis=0)
-        if ctx_feats is not None:
-            feats2 = [jnp.concatenate([f, f], axis=0) for f in feats]
-            both = tokenizer.apply(
-                tok_params, both_vis, feats2, method=tokenizer.detokenize_dyn
-            )
-        else:
-            ctx2 = jnp.concatenate([ctx_raw, ctx_raw], axis=0)
-            both = tokenizer.apply(
-                tok_params, ctx2, both_vis, method=tokenizer.detokenize
-            )[:, 1:]
-        both = jnp.clip(both, 0.0, 1.0)
+        both = jnp.clip(detok(jnp.concatenate([vis, gt_vis], axis=0)), 0.0, 1.0)
         B_ = vis.shape[0]
         pred, real = both[:B_], both[B_:]
     else:
