@@ -199,3 +199,21 @@ def test_main_eval_offline_parquet(tmp_path):
     assert res["test_score/gpqa/pass@1"] == 1.0
     res2 = run([f"data.path={path}"])
     assert res2 == res
+
+
+def test_rollout_video_gif(tmp_path):
+    """save_video_dir writes a per-episode GIF (libero_utils
+    save_rollout_video analog)."""
+    import glob
+
+    from vla_rft_tpu.eval.libero_eval import GenerateConfig, ScriptedEnv, run_episode
+
+    cfg = GenerateConfig(
+        num_steps_wait=2, num_open_loop_steps=4, resize_size=16,
+        save_video_dir=str(tmp_path),
+    )
+    chunk_fn = lambda obs: np.zeros((4, 7), np.float32)
+    ok = run_episode(ScriptedEnv(succeed_at=6), chunk_fn, cfg, max_steps=20)
+    assert ok
+    vids = glob.glob(str(tmp_path / "rollout_*success=True.gif"))
+    assert len(vids) == 1

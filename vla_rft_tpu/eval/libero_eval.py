@@ -38,6 +38,10 @@ class GenerateConfig:
     resize_size: int = 224
     seed: int = 7
     unnorm_key: Optional[str] = None
+    # when set, each episode's frames are saved as an animated GIF named
+    # like the reference's rollout videos (libero_utils.save_rollout_video
+    # writes mp4; GIF keeps us dependency-free — PIL only)
+    save_video_dir: Optional[str] = None
 
 
 def resize_image_for_policy(img: np.ndarray, size: int) -> np.ndarray:
@@ -123,12 +127,33 @@ def prepare_observation(obs: Dict[str, Any], resize_size: int) -> Dict[str, np.n
     return {"full_image": img, "proprio": proprio}
 
 
+def save_rollout_video(
+    frames: List[np.ndarray], out_dir: str, tag: str, success: bool, fps: int = 30
+) -> str:
+    """Animated-GIF analog of libero_utils.save_rollout_video (mp4 there);
+    filename carries the success flag the same way."""
+    import os
+
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"rollout_{tag}_success={success}.gif")
+    imgs = [Image.fromarray(np.asarray(f, np.uint8)) for f in frames]
+    if imgs:
+        imgs[0].save(
+            path, save_all=True, append_images=imgs[1:],
+            duration=max(1, 1000 // fps), loop=0,
+        )
+    return path
+
+
 def run_episode(
     env,
     get_action_chunk: Callable[[Dict[str, np.ndarray]], np.ndarray],
     cfg: GenerateConfig,
     max_steps: int,
     initial_state=None,
+    video_tag: Optional[str] = None,
 ) -> bool:
     """Episode loop with the open-loop action queue
     (run_libero_eval.py:281-366)."""
@@ -140,6 +165,9 @@ def run_episode(
 
     action_queue: deque = deque(maxlen=cfg.num_open_loop_steps)
     t = 0
+    success = False
+    replay: List[np.ndarray] = []
+    record = cfg.save_video_dir is not None
     dummy = np.zeros(7)
     dummy[-1] = -1  # gripper open no-op while settling
     while t < max_steps + cfg.num_steps_wait:
@@ -148,15 +176,22 @@ def run_episode(
             t += 1
             continue
         observation = prepare_observation(obs, cfg.resize_size)
+        if record and "full_image" in observation:
+            replay.append(observation["full_image"])
         if len(action_queue) == 0:
             chunk = get_action_chunk(observation)  # (num_open_loop_steps, 7)
             action_queue.extend(chunk)
         action = action_queue.popleft()
         obs, reward, done, info = env.step(np.asarray(action).tolist())
         if done:
-            return True
+            success = True
+            break
         t += 1
-    return False
+    if record and replay:
+        save_rollout_video(
+            replay, cfg.save_video_dir, video_tag or "episode", success
+        )
+    return success
 
 
 def run_suite_eval(
@@ -174,7 +209,10 @@ def run_suite_eval(
         task_success = 0
         for ep in range(cfg.num_trials_per_task):
             init = init_states[ep % len(init_states)] if init_states is not None else None
-            ok = run_episode(env, get_action_chunk, cfg, max_steps, init)
+            ok = run_episode(
+                env, get_action_chunk, cfg, max_steps, init,
+                video_tag=f"task{task_id}_ep{ep}",
+            )
             task_success += int(ok)
             total += 1
             success += int(ok)
