@@ -123,35 +123,66 @@ def _replay_logp(
     x_chain: jnp.ndarray,  # (B, K+1, C, A) bf16
     proprio: jnp.ndarray,
     return_entropy: bool,
+    step_chunks: int = 2,
 ):
-    """Replay the chain step by step (dp_actor.py:141-195)."""
+    """Replay the chain (dp_actor.py:141-195) with the K flow steps BATCHED.
+
+    The replay is teacher-forced — every step's input x_k is known up front
+    — so unlike the sequential rollout it needs no scan: steps fold into
+    the batch dim and the two DiTs run at K/step_chunks x the batch.  The
+    reference (and the first port) scanned K sequential tiny forwards,
+    which left the MXU >90% idle at head sizes.  Math is identical; the
+    per-step Gaussian terms just sum over the folded axis.
+
+    step_chunks: chunks the folded axis to bound activation memory in the
+    grad path (1 = fully batched; K = the old one-step-at-a-time shape).
+    """
     B, Kp1, C, A = x_chain.shape
     K = Kp1 - 1
     dt = -1.0 / K
+    while K % step_chunks != 0:
+        step_chunks += 1
+    kc = K // step_chunks  # steps folded per call
 
-    def step(carry, k):
+    # (step_chunks, B*kc, ...) inputs: chunk c covers steps [c*kc, (c+1)*kc)
+    x_in = jnp.moveaxis(
+        x_chain[:, :K].reshape(B, step_chunks, kc, C, A), 0, 1
+    ).reshape(step_chunks, B * kc, C, A)
+    x_next = jnp.moveaxis(
+        x_chain[:, 1:].reshape(B, step_chunks, kc, C, A), 0, 1
+    ).reshape(step_chunks, B * kc, C, A)
+    ks = jnp.arange(K, dtype=jnp.float32).reshape(step_chunks, kc)
+    t_all = jnp.broadcast_to(ks[:, None, :] / K, (step_chunks, B, kc)).reshape(
+        step_chunks, B * kc
+    )
+
+    hid_rep = jnp.repeat(hidden, kc, axis=0)  # (B*kc, S, D)
+    prop_rep = jnp.repeat(proprio, kc, axis=0)
+
+    def chunk(carry, args):
         logp_acc, ent_acc = carry
-        ki = k.astype(jnp.int32)
-        x_k = jax.lax.dynamic_index_in_dim(x_chain, ki, axis=1, keepdims=False)
-        x_k1 = jax.lax.dynamic_index_in_dim(x_chain, ki + 1, axis=1, keepdims=False)
-        t = jnp.full((B,), k / K, jnp.float32)
+        x_k, x_k1, t = args
         flow = expert.apply(
-            expert_params, hidden, x_k, t, proprio, method=expert.predict_flow
+            expert_params, hid_rep, x_k, t, prop_rep, method=expert.predict_flow
         )
         std, log_std = expert.apply(
-            expert_params, hidden, x_k, t, proprio, method=expert.predict_std
+            expert_params, hid_rep, x_k, t, prop_rep, method=expert.predict_std
         )
-        mean = (x_k + jnp.asarray(dt, x_k.dtype) * flow.astype(x_k.dtype)).astype(jnp.float32)
+        mean = (x_k + jnp.asarray(dt, x_k.dtype) * flow.astype(x_k.dtype)).astype(
+            jnp.float32
+        )
         sd = jnp.clip(std.astype(jnp.float32), 1e-6, None)
         z = (x_k1.astype(jnp.float32) - mean) / sd
         step_logp = -0.5 * z * z - jnp.log(sd) - 0.5 * LOG_2PI
-        logp_acc = logp_acc + step_logp
+        logp_acc = logp_acc + step_logp.reshape(B, kc, C, A).sum(axis=1)
         if return_entropy:
-            ent_acc = ent_acc + log_std.astype(jnp.float32) + CONST_ENTROPY
+            ent_acc = ent_acc + (
+                log_std.astype(jnp.float32) + CONST_ENTROPY
+            ).reshape(B, kc, C, A).sum(axis=1)
         return (logp_acc, ent_acc), None
 
     zeros = jnp.zeros((B, C, A), jnp.float32)
-    (logp, ent), _ = jax.lax.scan(step, (zeros, zeros), jnp.arange(K, dtype=jnp.float32))
+    (logp, ent), _ = jax.lax.scan(chunk, (zeros, zeros), (x_in, x_next, t_all))
     logp_vec = logp.reshape(B, C * A).astype(jnp.bfloat16)
     if return_entropy:
         ent_vec = (ent / (K + 1)).reshape(B, C * A).astype(jnp.bfloat16)
