@@ -47,3 +47,65 @@ def test_flow_bc_loss_decreases():
         t.training_step(jax.random.key(i), hidden, gt, proprio) for i in range(10)
     ]
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_vla_adapter_sft_trains_vlm():
+    """VLAAdapterSFTTrainer (finetune.py parity): gradient flows into the
+    VLM; frozen subtrees stay bit-identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vla_rft_tpu.config import vla_rft_default_config
+    from vla_rft_tpu.models.factory import build_models, fast_random_params
+    from vla_rft_tpu.trainer.sft_trainer import VLAAdapterSFTTrainer
+
+    c = vla_rft_default_config()
+    c.data.video.segment_length = 3
+    bundle = build_models(c, preset="tiny")
+    params = fast_random_params(bundle, 0)
+    tr = VLAAdapterSFTTrainer(
+        bundle.vla, bundle.expert, params["vla"], params["expert"],
+        freeze_vision_backbone=True,
+    )
+    frozen_before = jax.tree_util.tree_map(
+        np.asarray, tr.params["vla"]["params"]["vision_backbone"]
+    )
+    lm_before = jax.tree_util.tree_map(
+        np.asarray, tr.params["vla"]["params"]["language_model"]
+    )
+
+    rng = np.random.default_rng(0)
+    B, S = 2, bundle.policy_seq_len
+    img = bundle.policy_image_size
+    batch = {
+        "input_ids": rng.integers(1, 100, (B, S)).astype(np.int32),
+        "attention_mask": np.ones((B, S), np.int32),
+        "labels": np.full((B, S), -100, np.int32),
+        "pixels": rng.random((B, img, img, 6)).astype(np.float32),
+        "proprio": rng.random((B, 8)).astype(np.float32),
+        "actions": rng.random(
+            (B, bundle.expert_cfg.num_actions_chunk, bundle.expert_cfg.action_dim)
+        ).astype(np.float32),
+    }
+    # mark some action-query positions so encode_context has query slots
+    batch["labels"][:, -bundle.vla_cfg.num_tokens :] = 1
+    loss0 = tr.training_step(jax.random.key(0), batch)
+    loss1 = tr.training_step(jax.random.key(1), batch)
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+
+    frozen_after = tr.params["vla"]["params"]["vision_backbone"]
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(frozen_before),
+        jax.tree_util.tree_leaves_with_path(frozen_after),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the unfrozen LLM moved
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(lm_before),
+            jax.tree_util.tree_leaves(tr.params["vla"]["params"]["language_model"]),
+        )
+    )
+    assert moved

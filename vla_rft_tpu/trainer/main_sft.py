@@ -43,8 +43,10 @@ def run(argv=None):
         _run_text(config, steps)
     elif mode == "vla_flow":
         _run_vla_flow(config, preset, steps)
+    elif mode == "vla_adapter":
+        _run_vla_adapter(config, preset, steps)
     else:
-        raise SystemExit(f"unknown sft.mode {mode!r} (text | vla_flow)")
+        raise SystemExit(f"unknown sft.mode {mode!r} (text | vla_flow | vla_adapter)")
 
 
 class SFTParquetDataset:
@@ -167,6 +169,61 @@ def _run_vla_flow(config, preset, steps):
         rng, sub = jax.random.split(rng)
         loss = trainer.training_step(sub, hidden, b["actions"], b["proprio"])
         print(f"[sft step {step}] flow_bc_loss {loss:.4f} ({time.time()-t0:.2f}s)", flush=True)
+
+
+def _run_vla_adapter(config, preset, steps):
+    """finetune.py parity mode: flow BC that ALSO updates the VLM backbone
+    (sft.freeze_vision_backbone / sft.freeze_llm mirror its switches)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vla_rft_tpu.data.synthetic import SyntheticVLAConfig, SyntheticVLADataset
+    from vla_rft_tpu.models.factory import build_models, fast_random_params
+    from vla_rft_tpu.trainer.sft_trainer import VLAAdapterSFTTrainer
+
+    bundle = build_models(config, preset)
+    params = fast_random_params(bundle, config.trainer.get("seed", 0))
+    sft = config.get("sft", {})
+    dataset = SyntheticVLADataset(
+        SyntheticVLAConfig(
+            batch_size=config.data.train_batch_size,
+            seq_len=bundle.policy_seq_len,
+            num_action_tokens=bundle.vla_cfg.num_tokens,
+            policy_image_size=bundle.policy_image_size,
+            wm_image_size=bundle.wm_image_size,
+            num_frames=bundle.num_raw_frames,
+            action_chunk=bundle.expert_cfg.num_actions_chunk,
+            action_dim=bundle.expert_cfg.action_dim,
+            proprio_dim=bundle.vla_cfg.proprio_dim,
+            seed=config.trainer.get("seed", 0),
+        )
+    )
+    trainer = VLAAdapterSFTTrainer(
+        bundle.vla, bundle.expert, params["vla"], params["expert"],
+        lr=float(sft.get("vlm_lr", 2e-5) if hasattr(sft, "get") else 2e-5),
+        expert_lr=config.actor_rollout_ref.actor.optim.lr,
+        freeze_vision_backbone=bool(
+            sft.get("freeze_vision_backbone", False) if hasattr(sft, "get") else False
+        ),
+        freeze_llm=bool(sft.get("freeze_llm", False) if hasattr(sft, "get") else False),
+    )
+    rng = jax.random.key(config.trainer.get("seed", 0))
+    for step in range(1, steps + 1):
+        t0 = time.time()
+        b = {k: jnp.asarray(v) for k, v in dataset.next_batch().items()}
+        rng, sub = jax.random.split(rng)
+        loss = trainer.training_step(
+            sub,
+            {
+                "input_ids": b["input_ids"],
+                "attention_mask": b["attention_mask"],
+                "labels": b["labels"],
+                "pixels": b["pixel_values"],
+                "proprio": b["proprio"],
+                "actions": b["actions"],
+            },
+        )
+        print(f"[sft step {step}] adapter_bc_loss {loss:.4f} ({time.time()-t0:.2f}s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -98,3 +98,89 @@ class VLAFlowSFTTrainer:
             self.params, self.opt_state, rng, hidden, gt_actions, proprio
         )
         return float(loss)
+
+
+class VLAAdapterSFTTrainer:
+    """Full VLA-Adapter fine-tuning stage with a TRAINABLE VLM
+    (openvla-oft/vla-scripts/finetune.py: the backbone is optimized together
+    with the action head; flags mirror finetune's freeze switches).
+
+    Loss = flow-matching BC (same as VLAFlowSFTTrainer) but the gradient
+    flows through encode_context into the VLM.  optax.multi_transform masks
+    frozen subtrees (vision towers / the whole LLM) to zero updates — the
+    functional analog of finetune.py's requires_grad_ switches; LoRA's role
+    (cheap adaptation) is covered by freezing the backbone and training
+    projector+head only.
+    """
+
+    def __init__(
+        self,
+        vla,
+        expert: ActionExpert,
+        vla_params,
+        expert_params,
+        lr: float = 2e-5,
+        expert_lr: float = 1e-4,
+        grad_clip: float = 1.0,
+        freeze_vision_backbone: bool = False,
+        freeze_llm: bool = False,
+        mesh=None,
+    ):
+        from vla_rft_tpu.workers import flow_actor
+
+        self.vla, self.expert = vla, expert
+        self.params = {"vla": vla_params, "expert": expert_params}
+        self._flow_actor = flow_actor
+
+        def label(path_leaf):
+            path = jax.tree_util.keystr(path_leaf)
+            if path.startswith("['expert']"):
+                return "expert"
+            # module names from models/prismatic.py: 'featurizer' (SigLIP),
+            # 'fused_featurizer' (DINOv2), 'language_model' (Qwen backbone)
+            if freeze_vision_backbone and "featurizer" in path:
+                return "frozen"
+            if freeze_llm and "language_model" in path:
+                return "frozen"
+            return "vla"
+
+        labels = jax.tree_util.tree_map_with_path(
+            lambda p, _: label(p), self.params
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.multi_transform(
+                {
+                    "vla": optax.adamw(lr),
+                    "expert": optax.adamw(expert_lr),
+                    "frozen": optax.set_to_zero(),
+                },
+                labels,
+            ),
+        )
+        self.opt_state = self.tx.init(self.params)
+        self._step = jax.jit(self._train_step)
+
+    def _loss(self, params, batch, noise_dict):
+        hidden = self._flow_actor.encode_context(self.vla, params["vla"], batch)
+        flow_pred = self.expert.apply(
+            params["expert"], hidden, noise_dict["gt_noisy_actions"],
+            noise_dict["gt_timesteps"].astype(jnp.float32), batch["proprio"],
+            method=self.expert.predict_flow,
+        )
+        return jnp.mean(
+            (flow_pred.astype(jnp.float32) - noise_dict["flow"].astype(jnp.float32)) ** 2
+        )
+
+    def _train_step(self, params, opt_state, rng, batch):
+        noise_dict = sample_noisy_actions(rng, batch["actions"], self.expert.cfg)
+        loss, grads = jax.value_and_grad(self._loss)(params, batch, noise_dict)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def training_step(self, rng, batch: Dict[str, Any]) -> float:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        self.params, self.opt_state, loss = self._step(
+            self.params, self.opt_state, rng, batch
+        )
+        return float(loss)
