@@ -49,6 +49,8 @@ def main():
     # expert-only grads are tiny: 16/chip halves the update stage's fixed
     # costs vs the reference's 8/GPU (a per-device perf knob, not semantics)
     c.actor_rollout_ref.actor.ppo_micro_batch_size_per_gpu = 16
+    if os.environ.get("BENCH_RSC"):
+        c.actor_rollout_ref.actor.replay_step_chunks = int(os.environ["BENCH_RSC"])
     c.actor_rollout_ref.rollout.log_prob_micro_batch_size_per_gpu = 16
     c.trainer.total_training_steps = 400
     c.trainer.logger = []

@@ -190,6 +190,9 @@ def vla_rft_default_config() -> Config:
                     "kl_loss_coef": 0.001,
                     "kl_loss_type": "low_var_kl",
                     "ppo_epochs": 1,
+                    # K flow steps folded per DiT call in the grad replay
+                    # (1 = fully batched; K = sequential; bounds activations)
+                    "replay_step_chunks": 2,
                     "shuffle": False,
                     "optim": {
                         "lr": 1e-6,

@@ -56,10 +56,20 @@ def _decode_example(raw: bytes, cfg: RLDSConfig) -> Dict[str, Any]:
     def float_list(key):
         return np.asarray(feats[key].float_list.value, np.float32)
 
-    images = [
-        np.asarray(tf.io.decode_image(b, expand_animations=False))
-        for b in bytes_list(cfg.image_key)
-    ]
+    img_bytes = bytes_list(cfg.image_key)
+    dims = None
+    if img_bytes and img_bytes[0][:3] == b"\xff\xd8\xff":
+        from vla_rft_tpu.data.image_ops import decode_jpeg_batch, jpeg_dims
+
+        dims = jpeg_dims(img_bytes[0])
+    if dims is not None:
+        # JPEG frames: native threaded decode (csrc/image_ops.cc) — no TF op
+        images = list(decode_jpeg_batch(img_bytes, dims[0], dims[1]))
+    else:
+        images = [
+            np.asarray(tf.io.decode_image(b, expand_animations=False))
+            for b in img_bytes
+        ]
     actions = float_list(cfg.action_key).reshape(-1, cfg.action_dim)
     states = float_list(cfg.state_key)
     states = states.reshape(-1, cfg.proprio_dim) if states.size else None

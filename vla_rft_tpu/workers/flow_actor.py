@@ -204,7 +204,8 @@ def compute_log_prob(
     if stop_vlm_gradient:
         hidden = jax.lax.stop_gradient(hidden)
     logp, ent = _replay_logp(
-        expert, expert_params, hidden, batch["x_chain"], batch["proprio"], return_entropy
+        expert, expert_params, hidden, batch["x_chain"], batch["proprio"],
+        return_entropy, step_chunks=1,  # no grad: fully batched
     )
     if return_entropy:
         return logp, ent, hidden
@@ -220,7 +221,10 @@ def logp_from_hidden(
     return_entropy: bool = False,
 ):
     """Chain replay given a precomputed VLM context (see rollout_from_hidden)."""
-    logp, ent = _replay_logp(expert, expert_params, hidden, x_chain, proprio, return_entropy)
+    logp, ent = _replay_logp(
+        expert, expert_params, hidden, x_chain, proprio, return_entropy,
+        step_chunks=1,  # no grad: fully batched
+    )
     return (logp, ent) if return_entropy else logp
 
 
@@ -239,7 +243,8 @@ def policy_loss_fn(
     cfg: the actor config group (clip ratios, entropy_coeff, mse gate, ...).
     """
     new_logp, entropy = _replay_logp(
-        expert, expert_params, hidden, batch["x_chain"], batch["proprio"], True
+        expert, expert_params, hidden, batch["x_chain"], batch["proprio"], True,
+        step_chunks=int(cfg.get("replay_step_chunks", 2) or 2),
     )
     old_logp = batch["old_log_probs"].astype(jnp.float32)
     advantages = batch["advantages"].astype(jnp.float32)
