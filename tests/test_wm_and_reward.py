@@ -239,3 +239,82 @@ def test_ac_reward():
     np.testing.assert_allclose(np.asarray(r2), -0.25)
     r3, _ = ac_reward(gt, pred, "huber", huber_delta=0.1)
     np.testing.assert_allclose(np.asarray(r3), -(0.1 * (0.5 - 0.05)), rtol=1e-5)
+
+
+def test_wm_speculative_greedy_exact():
+    """Speculative decode (copy-prev-frame drafts + rejection sampling) is
+    EXACT: greedy responses are bit-identical to plain decode, for both the
+    shared-prefix split-cache path and the plain path."""
+    wm, params, prompt, actions = _init_wm(B=4)
+    p0 = ROLL.prompt_length - 3
+    prompt = np.array(prompt)
+    prompt[1, :p0] = prompt[0, :p0]
+    prompt[3, :p0] = prompt[2, :p0]
+    prompt = jnp.asarray(prompt)
+    shared = prompt[::2, :p0]
+    pm = jnp.asarray([0, 0, 1, 1], jnp.int32)
+
+    ref = generate_sequences(
+        wm, params, jax.random.key(2), prompt[:, p0:], actions, ROLL,
+        shared_prefix=shared, prefix_map=pm,
+    )
+    for k in (2, 3):
+        out = generate_sequences(
+            wm, params, jax.random.key(2), prompt[:, p0:], actions,
+            dataclasses.replace(ROLL, speculative_k=k),
+            shared_prefix=shared, prefix_map=pm,
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # plain (non-shared) path too
+    ref2 = generate_sequences(wm, params, jax.random.key(4), prompt, actions, ROLL)
+    out2 = generate_sequences(
+        wm, params, jax.random.key(4), prompt, actions,
+        dataclasses.replace(ROLL, speculative_k=2),
+    )
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref2))
+
+
+def test_wm_speculative_sampling_distribution():
+    """Sampled mode: rejection sampling preserves the decode distribution —
+    marginal token histograms of the first frame match plain decode across
+    many rows with an identical prompt."""
+    B = 192
+    wm = Decoder(WM_CFG)
+    rng = np.random.default_rng(3)
+    one_prompt = rng.integers(0, 100, (1, ROLL.prompt_length))
+    prompt = jnp.asarray(np.repeat(one_prompt, B, axis=0), jnp.int32)
+    actions = jnp.asarray(
+        np.repeat(rng.integers(100, 119, (1, 4, 2)), B, axis=0), jnp.int32
+    )
+    params = wm.init(jax.random.key(0), prompt[:1])
+    roll = dataclasses.replace(
+        ROLL, do_sample=True, top_p=0.9, num_frames=1, response_length=6
+    )
+    p0 = roll.prompt_length - 3
+    pm = jnp.zeros((B,), jnp.int32)
+    shared = prompt[:1, :p0]
+
+    def hist(resp, pos):
+        h = np.bincount(np.asarray(resp)[:, pos], minlength=120).astype(np.float64)
+        return h / h.sum()
+
+    ref = generate_sequences(
+        wm, params, jax.random.key(7), prompt[:, p0:], actions, roll,
+        shared_prefix=shared, prefix_map=pm,
+    )
+    ref2 = generate_sequences(
+        wm, params, jax.random.key(23), prompt[:, p0:], actions, roll,
+        shared_prefix=shared, prefix_map=pm,
+    )
+    out = generate_sequences(
+        wm, params, jax.random.key(11), prompt[:, p0:], actions,
+        dataclasses.replace(roll, speculative_k=2),
+        shared_prefix=shared, prefix_map=pm,
+    )
+    # calibrate against the plain-vs-plain null (finite-sample TV over a
+    # near-flat random-logit distribution is large by itself)
+    for pos in range(4):  # the 4 sampled visual tokens of the frame
+        null_tv = 0.5 * np.abs(hist(ref, pos) - hist(ref2, pos)).sum()
+        tv = 0.5 * np.abs(hist(ref, pos) - hist(out, pos)).sum()
+        assert tv < null_tv + 0.12, (pos, tv, null_tv)

@@ -248,6 +248,12 @@ def vla_rft_default_config() -> Config:
                     # divide rollout.n; amortizes per-iteration latency —
                     # measured B=128: bb=1 144, bb=2 164, bb=4 156, bb=8 131 f/s)
                     "decode_block_b": 2,
+                    # speculative decoding draft length (0=off): copy-prev-
+                    # frame drafts + exact rejection sampling — distribution
+                    # preserving; pays off with REAL WM weights (repetitive
+                    # video tokens), not with the synthetic bench's random
+                    # weights, hence off by default
+                    "speculative_k": 0,
                     # int8 WM weights for the (frozen) rollout model —
                     # halves decode weight reads; logprob paths stay bf16
                     "weights_int8": False,

@@ -88,6 +88,7 @@ def build_models(config, preset: str = "libero") -> ModelBundle:
         top_p=roll.val_kwargs.top_p if roll.is_validate else roll.top_p,
         do_sample=roll.do_sample,
         cache_segments=roll.get("cache_segments", 4),
+        speculative_k=int(roll.get("speculative_k", 0) or 0),
     )
     loss_w = trainer.loss_weight
     reward_cfg = RewardConfig(

@@ -328,6 +328,29 @@ class Attention(nn.Module):
             idx = jnp.asarray(cache_index, jnp.int32)
             if shared_cache is not None:
                 idx = idx - shared_len  # own-cache write coordinates
+            # (B,) per-row write offsets (speculative decode: rows advance at
+            # different rates) -> vmapped DUS (lowers to a scatter of B rows)
+            per_row_idx = idx.ndim == 1
+
+            def dus5(c, new):  # c (L,B,H,S,D), new (1,B,H,Sq,D)
+                if not per_row_idx:
+                    return jax.lax.dynamic_update_slice(c, new, (li, 0, 0, idx, 0))
+                return jax.vmap(
+                    lambda cb, nb, ib: jax.lax.dynamic_update_slice(
+                        cb, nb[None], (li, 0, ib, 0)
+                    ),
+                    in_axes=(1, 0, 0), out_axes=1,
+                )(c, new[0], idx)
+
+            def dus4(c, new):  # c (L,B,H,S), new (1,B,H,Sq)
+                if not per_row_idx:
+                    return jax.lax.dynamic_update_slice(c, new, (li, 0, 0, idx))
+                return jax.vmap(
+                    lambda cb, nb, ib: jax.lax.dynamic_update_slice(
+                        cb, nb[None], (li, 0, ib)
+                    ),
+                    in_axes=(1, 0, 0), out_axes=1,
+                )(c, new[0], idx)
 
             from vla_rft_tpu.ops.attention import _IMPL_OVERRIDE
 
@@ -354,15 +377,15 @@ class Attention(nn.Module):
                 vq, vs_new = quant(v_t)
                 if packed:
                     kq, vq = pack_kv_heads(kq), pack_kv_heads(vq)
-                ck = jax.lax.dynamic_update_slice(ck, kq, (li, 0, 0, idx, 0))
-                cv = jax.lax.dynamic_update_slice(cv, vq, (li, 0, 0, idx, 0))
-                sk = jax.lax.dynamic_update_slice(sk, ks_new, (li, 0, 0, idx))
-                sv = jax.lax.dynamic_update_slice(sv, vs_new, (li, 0, 0, idx))
+                ck = dus5(ck, kq)
+                cv = dus5(cv, vq)
+                sk = dus4(sk, ks_new)
+                sv = dus4(sv, vs_new)
                 new_cache = (ck, cv, sk, sv)
             else:
                 kw, vw = (k_t, v_t) if not packed else (pack_kv_heads(k_t), pack_kv_heads(v_t))
-                ck = jax.lax.dynamic_update_slice(ck, kw.astype(ck.dtype), (li, 0, 0, idx, 0))
-                cv = jax.lax.dynamic_update_slice(cv, vw.astype(cv.dtype), (li, 0, 0, idx, 0))
+                ck = dus5(ck, kw.astype(ck.dtype))
+                cv = dus5(cv, vw.astype(cv.dtype))
                 new_cache = (ck, cv)
             kv_lens_eff = jnp.minimum(kv_lens, cache_index + S)
             if shared_cache is not None:
@@ -411,7 +434,9 @@ class Attention(nn.Module):
                     v_all = jnp.swapaxes(
                         jnp.concatenate([v_sh, v_ow], axis=2), 1, 2
                     ).astype(cfg.dtype)
-                    q_offset = jnp.full((B,), cache_index, jnp.int32)
+                    q_offset = jnp.broadcast_to(
+                        jnp.asarray(cache_index, jnp.int32), (B,)
+                    )
                     out = attention(
                         q, k_all, v_all, causal=causal, kv_lens=kv_lens_eff,
                         q_offset=q_offset, impl="xla",
@@ -442,7 +467,9 @@ class Attention(nn.Module):
                     )
                     k_all = (k_all.astype(jnp.float32) * sk_l[..., None]).astype(cfg.dtype)
                     v_all = (v_all.astype(jnp.float32) * sv_l[..., None]).astype(cfg.dtype)
-                q_offset = jnp.full((B,), cache_index, jnp.int32)
+                q_offset = jnp.broadcast_to(
+                    jnp.asarray(cache_index, jnp.int32), (B,)
+                )
                 out = attention(
                     q, k_all, v_all, causal=causal, kv_lens=kv_lens_eff,
                     q_offset=q_offset, kv_starts=kv_starts,
@@ -552,8 +579,12 @@ class Decoder(nn.Module):
         B, S, _ = inputs_embeds.shape
         if positions is None:
             base = jnp.arange(S, dtype=jnp.int32)[None, :]
-            positions = base + (cache_index if cache_index is not None else 0)
-            positions = jnp.broadcast_to(positions, (B, S))
+            off = 0
+            if cache_index is not None:
+                off = jnp.asarray(cache_index, jnp.int32)
+                if off.ndim == 1:  # per-row offsets (speculative decode)
+                    off = off[:, None]
+            positions = jnp.broadcast_to(base + off, (B, S))
         if kv_lens is None:
             if cache is None:
                 kv_lens = jnp.full((B,), S, jnp.int32)

@@ -39,6 +39,17 @@ def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 
+def filtered_logits(
+    logits: jnp.ndarray, temperature: float = 1.0, top_k: int = -1, top_p: float = 1.0
+) -> jnp.ndarray:
+    """Temperature + top-k + top-p filtered f32 logits — softmax of the
+    result IS the sampling distribution (shared by sample_token and the
+    speculative-decode acceptance math, which needs exact probabilities)."""
+    logits = logits.astype(jnp.float32) / jnp.asarray(temperature, jnp.float32)
+    logits = apply_top_k(logits, top_k)
+    return apply_top_p(logits, top_p)
+
+
 def sample_token(
     rng: jax.Array,
     logits: jnp.ndarray,
@@ -51,7 +62,6 @@ def sample_token(
     do_sample=False -> greedy."""
     if not do_sample or temperature == 0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits.astype(jnp.float32) / jnp.asarray(temperature, jnp.float32)
-    logits = apply_top_k(logits, top_k)
-    logits = apply_top_p(logits, top_p)
-    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(
+        rng, filtered_logits(logits, temperature, top_k, top_p), axis=-1
+    ).astype(jnp.int32)

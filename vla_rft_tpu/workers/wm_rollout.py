@@ -51,6 +51,15 @@ class WMRolloutConfig:
     # early frames shouldn't pay DMA for the final frames' empty tail).
     # 1 = single full-size cache (old behavior).
     cache_segments: int = 4
+    # speculative decoding draft length (0 = off).  Drafts are the SAME
+    # spatial position's token from the previous frame (video tokens are
+    # temporally repetitive); acceptance follows exact rejection sampling,
+    # so the output DISTRIBUTION is identical to plain decode (greedy is
+    # bit-identical) — only wall clock changes.  Each verify call reads the
+    # KV cache once for up to k+1 emitted tokens; win scales with how
+    # static the scene is under a REAL world model (random weights accept
+    # ~nothing, which is why the synthetic bench keeps this off).
+    speculative_k: int = 0
 
     @property
     def tokens_per_frame(self) -> int:
@@ -151,6 +160,108 @@ def generate_sequences(
     last_logits = logits[:, -1]  # (B, vocab)
     shared_kw = dict(shared_cache=shared, shared_len=P0, prefix_map=prefix_map)
 
+    spec_k = int(cfg.speculative_k)
+    use_spec = spec_k > 0
+    if use_spec:
+        # initial drafts: the prompt's dyn_0 tokens (same spatial layout as
+        # every generated frame).  With a shared prefix they are its last V
+        # columns; otherwise the V tokens right before the prompt's actions.
+        if shared_prefix is not None:
+            draft0 = jnp.take(shared_prefix[:, -V:], prefix_map, axis=0)
+        else:
+            draft0 = input_ids[:, P - A - V : P - A]
+
+    def spec_frame_step(carry, f):
+        """Frame decode with speculative verify calls (see speculative_k).
+
+        Invariants per row: `j` = visual tokens DECIDED this frame
+        (including `pending`); `pending` = token at frame position j-1
+        whose KV is NOT yet in the cache; position V-1 is always filled by
+        a sampled token (drafts are capped at V-1-j), so the action call
+        can uniformly prepend `pending`."""
+        from vla_rft_tpu.ops.sampling import filtered_logits
+
+        cache, last_logits, key, draft_prev = carry
+        base = P + f * (V + A)
+        c = 1 + spec_k
+
+        key, sub = jax.random.split(key)
+        pending = sample_token(
+            sub, last_logits, cfg.temperature, cfg.top_k, cfg.top_p, cfg.do_sample
+        )
+        j = jnp.ones((B,), jnp.int32)
+        frame_buf = jnp.zeros((B, V), jnp.int32).at[:, 0].set(pending)
+
+        def cond(st):
+            return jnp.any(st[2] < V)
+
+        def body(st):
+            cache, pending, j, frame_buf, key = st
+            key, k1, k2 = jax.random.split(key, 3)
+            done = j >= V
+            didx = j[:, None] + jnp.arange(spec_k)[None]
+            drafts = jnp.take_along_axis(
+                draft_prev, jnp.clip(didx, 0, V - 1), axis=1
+            )  # (B, k)
+            chunk = jnp.concatenate([pending[:, None], drafts], axis=1)  # (B, c)
+            pos0 = base + j - 1  # pending's absolute position (per row)
+            logits, _, cache = wm.apply(
+                wm_params, chunk, cache=cache, cache_index=pos0,
+                kv_lens=pos0 + c, **shared_kw,
+            )  # (B, c, vocab)
+
+            if cfg.do_sample and cfg.temperature != 0:
+                fl = filtered_logits(logits, cfg.temperature, cfg.top_k, cfg.top_p)
+                probs = jax.nn.softmax(fl[:, :spec_k], axis=-1)
+                pd = jnp.take_along_axis(probs, drafts[..., None], axis=-1)[..., 0]
+                ok = jax.random.uniform(k1, pd.shape) < pd
+            else:
+                fl = logits.astype(jnp.float32)
+                ok = drafts == jnp.argmax(fl[:, :spec_k], axis=-1)
+            # drafts are only PROPOSED for frame positions < V-1 (the last
+            # visual token stays sampled so its KV stays pending)
+            k_eff = jnp.clip(V - 1 - j, 0, spec_k)  # (B,)
+            proposed = jnp.arange(spec_k)[None] < k_eff[:, None]
+            acc_run = jnp.cumprod((ok & proposed).astype(jnp.int32), axis=1)
+            A_acc = acc_run.sum(axis=1)  # accepted draft count (B,)
+
+            l_A = jnp.take_along_axis(fl, A_acc[:, None, None], axis=1)[:, 0]
+            d_A = jnp.take_along_axis(
+                drafts, jnp.minimum(A_acc, spec_k - 1)[:, None], axis=1
+            )[:, 0]
+            rejected = A_acc < k_eff  # stopped by rejection, not by the cap
+            vocab_iota = jnp.arange(l_A.shape[-1])[None]
+            resid = jnp.where(
+                rejected[:, None] & (vocab_iota == d_A[:, None]), -1e30, l_A
+            )
+            if cfg.do_sample and cfg.temperature != 0:
+                t_star = jax.random.categorical(k2, resid, axis=-1).astype(jnp.int32)
+            else:
+                t_star = jnp.argmax(resid, axis=-1).astype(jnp.int32)
+
+            pos = jnp.arange(V)[None]
+            in_acc = (pos >= j[:, None]) & (pos < (j + A_acc)[:, None]) & ~done[:, None]
+            frame_buf = jnp.where(in_acc, draft_prev, frame_buf)
+            at_star = (pos == (j + A_acc)[:, None]) & ~done[:, None]
+            frame_buf = jnp.where(at_star, t_star[:, None], frame_buf)
+            pending = jnp.where(done, pending, t_star)
+            j = jnp.where(done, j, j + A_acc + 1)
+            return (cache, pending, j, frame_buf, key)
+
+        cache, pending, j, frame_buf, key = jax.lax.while_loop(
+            cond, body, (cache, pending, j, frame_buf, key)
+        )
+
+        # action block: pending's KV rides along (uniform invariant)
+        act = jax.lax.dynamic_index_in_dim(action_ids, f + 1, axis=1, keepdims=False)
+        act_in = jnp.concatenate([pending[:, None], act], axis=1)  # (B, 1+A)
+        act_logits, _, cache = wm.apply(
+            wm_params, act_in, cache=cache, cache_index=base + V - 1, **shared_kw
+        )
+        last_logits = act_logits[:, -1]
+        frame_tokens = jnp.concatenate([frame_buf, act], axis=1)  # (B, V+A)
+        return (cache, last_logits, key, frame_buf), frame_tokens
+
     def frame_step(carry, f):
         cache, last_logits, key = carry
         base = P + f * (V + A)  # traced start index of this frame's tokens
@@ -181,12 +292,17 @@ def generate_sequences(
         return (cache, last_logits, key), frame_tokens
 
     align = 128 if wm.cfg.kv_cache_dtype == "int8" else 8
-    carry = (cache, last_logits, rng)
+    if use_spec:
+        carry = (cache, last_logits, rng, draft0.astype(jnp.int32))
+        step_fn = spec_frame_step
+    else:
+        carry = (cache, last_logits, rng)
+        step_fn = frame_step
     frame_chunks = []
     for f0, f1 in zip(f_starts, bounds):
         cache = grow_cache(carry[0], (P - P0) + f1 * (V + A), align)
         carry = (cache,) + carry[1:]
-        carry, frames_s = jax.lax.scan(frame_step, carry, jnp.arange(f0, f1))
+        carry, frames_s = jax.lax.scan(step_fn, carry, jnp.arange(f0, f1))
         frame_chunks.append(frames_s)  # (f1-f0, B, V+A)
     frames = jnp.concatenate(frame_chunks, axis=0)  # (F, B, V+A)
     response = jnp.moveaxis(frames, 0, 1).reshape(B, F * (V + A))
