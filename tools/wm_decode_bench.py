@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--kv-dtype", default="int8")
     ap.add_argument("--block-b", type=int, default=1)
     ap.add_argument("--weights-int8", action="store_true")
+    ap.add_argument("--spec-k", type=int, default=0)
     ap.add_argument(
         "--uniques", type=int, default=0,
         help="shared-prefix prefill with this many unique prompt heads (0 = off)",
@@ -74,7 +75,9 @@ def main():
 
     p0 = roll.prompt_length - roll.action_dim
     for n_seg in args.segs:
-        rc = dataclasses.replace(roll, cache_segments=n_seg)
+        rc = dataclasses.replace(
+            roll, cache_segments=n_seg, speculative_k=args.spec_k
+        )
 
         if args.uniques:
             nu = args.uniques

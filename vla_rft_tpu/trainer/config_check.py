@@ -47,6 +47,13 @@ def validate_config(config, n_devices: int = 1) -> List[str]:
             f"rollout.n ({n}) — blocks would span different samples' shared "
             f"prompt caches (silently wrong attention)"
         )
+    spec_k = int(wm_roll.get("speculative_k", 0) or 0)
+    if spec_k > 7:
+        problems.append(
+            f"world_model_rollout.rollout.speculative_k ({spec_k}) > 7 pushes "
+            f"verify chunks past the decode kernel's Sq<=8 fast path (falls "
+            f"back to the slow XLA gather route on TPU)"
+        )
     wm_mb = int(wm_roll.get("micro_batch_size", 0) or 0)
     if wm_mb and wm_mb % n != 0:
         problems.append(
