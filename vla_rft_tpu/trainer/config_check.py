@@ -54,6 +54,14 @@ def validate_config(config, n_devices: int = 1) -> List[str]:
             f"verify chunks past the decode kernel's Sq<=8 fast path (falls "
             f"back to the slow XLA gather route on TPU)"
         )
+    if spec_k > 0 and int(wm_roll.get("micro_batch_size", 0) or 0) > 16:
+        problems.append(
+            "speculative_k with wm micro_batch_size > 16: the full-size "
+            "speculative rollout crashed the current axon TPU runtime at "
+            ">=64 rows/call (every component passes in isolation; tracked "
+            "in DESIGN_NOTES round-2 backlog) — use <=16 rows per decode "
+            "call until the runtime issue is resolved"
+        )
     wm_mb = int(wm_roll.get("micro_batch_size", 0) or 0)
     if wm_mb and wm_mb % n != 0:
         problems.append(
