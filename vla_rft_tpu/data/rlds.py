@@ -163,7 +163,19 @@ class RLDSDataset:
         self.files = sorted(glob.glob(pattern))
         if not self.files:
             raise FileNotFoundError(f"no tfrecords match {pattern}")
+        # dataset statistics come from the SAME files on every host (tiny
+        # sample; stats must agree globally for normalization parity)
         self.stats = stats or self._compute_stats()
+        # multi-host: each process reads only its stripe of the shards (the
+        # reference interleaves via tf.data over per-host file subsets;
+        # ray_trainer chunks DataProto per rank).  Falls back to all files
+        # when there are fewer shards than processes.
+        import jax as _jax
+
+        pc, pi = _jax.process_count(), _jax.process_index()
+        if pc > 1 and len(self.files) >= pc:
+            self.files = self.files[pi::pc]
+            self._rng = np.random.default_rng(cfg.seed + pi)
 
     # ------------------------------------------------------------------ state
     def state_dict(self):
