@@ -148,6 +148,9 @@ def vla_rft_default_config() -> Config:
                 "action_dim": 7,
                 "action_bins": 256,
                 "action_ranges_path": None,
+                # VGG16 features (+ optional taming lin heads) for the LPIPS
+                # reward term (reference downloads them in ivideogpt/lpips.py)
+                "lpips_path": None,
                 "max_length": 1663,
                 "visual_token_num": 4375,
                 "bos_token_id": 9006,

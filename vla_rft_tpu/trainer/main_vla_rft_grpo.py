@@ -106,6 +106,102 @@ def _maybe_load_pretrained(trainer, config):
                 cw.convert_hf_decoder(sd, trainer.bundle.wm_cfg)
             )
 
+    # visual tokenizer (reference TokenizerWorker.init_model loads
+    # TOKENIZER[name].from_pretrained(config.tokenizer.path),
+    # fsdp_workers.py:1723): a diffusers-style dir (config.json +
+    # *.safetensors/*.bin) or a single torch .pt/.pth/.ckpt file.
+    tok_path = config.processor.tokenizer.path
+    if tok_path:
+        sd = _load_state_dicts(tok_path)
+        kw = {}
+        mcfg = _read_model_config(tok_path)
+        if "block_out_channels" in mcfg:
+            kw["n_blocks"] = len(mcfg["block_out_channels"])
+        if "layers_per_block" in mcfg:
+            kw["layers_per_block"] = int(mcfg["layers_per_block"])
+        trainer.params["tokenizer"] = jax.device_put(
+            cw.convert_compressive_vq(sd, **kw)
+        )
+
+    # LPIPS (reference LPIPS() pulls torchvision VGG16 features + the
+    # taming vgg.pth lin heads, ivideogpt/lpips.py:44-61).  lpips_path is a
+    # file or dir whose merged state dict holds `features.N.*` (torchvision)
+    # or `net.sliceK.N.*` (taming) conv weights plus `lin{i}.model.1.weight`
+    # heads; lin heads are optional (identity-free VGG distance otherwise).
+    lpips_path = config.processor.get("lpips_path", None)
+    if lpips_path:
+        sd = _load_state_dicts(lpips_path)
+        vgg_sd, lin_sd = _split_lpips_sd(sd)
+        if not vgg_sd:
+            raise ValueError(
+                f"no VGG16 feature weights (features.N.* / net.sliceK.N.*) in {lpips_path}"
+            )
+        converted = cw.convert_lpips(vgg_sd, lin_sd or None)
+        if not lin_sd:  # keep randomly initialized lin heads
+            for i in range(5):
+                converted["params"][f"lin{i}"] = trainer.params["lpips"]["params"][f"lin{i}"]
+        trainer.params["lpips"] = jax.device_put(converted)
+
+
+def _load_state_dicts(path):
+    """Merge every weight file at `path` (file or directory) into one
+    torch-layout state dict: *.safetensors via safetensors.numpy, the rest
+    (.pt/.pth/.bin/.ckpt) via torch.load."""
+    import glob
+    import os
+
+    from tools import convert_weights as cw
+
+    if os.path.isdir(path):
+        files = sorted(
+            f
+            for pat in ("*.safetensors", "*.bin", "*.pt", "*.pth", "*.ckpt")
+            for f in glob.glob(os.path.join(path, pat))
+        )
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no weight files under {path}")
+    sd = {}
+    for f in files:
+        if f.endswith(".safetensors"):
+            import safetensors.numpy as stn
+
+            sd.update(stn.load_file(f))
+        else:
+            sd.update(cw.load_torch_state_dict(f))
+    return sd
+
+
+def _read_model_config(path):
+    import json
+    import os
+
+    cfg_file = os.path.join(path, "config.json") if os.path.isdir(path) else None
+    if cfg_file and os.path.exists(cfg_file):
+        with open(cfg_file) as f:
+            return json.load(f)
+    return {}
+
+
+def _split_lpips_sd(sd):
+    """Partition an LPIPS state dict into torchvision-layout VGG conv weights
+    and lin heads.  Taming's vgg16 wrapper keeps the ORIGINAL features index
+    as the module name inside each slice (`net.slice2.5.weight` == torchvision
+    `features.5.weight`), so slices translate by dropping the slice prefix."""
+    import re
+
+    vgg_sd, lin_sd = {}, {}
+    for k, v in sd.items():
+        m = re.fullmatch(r"(?:net\.)?slice\d+\.(\d+)\.(weight|bias)", k)
+        if m:
+            vgg_sd[f"features.{m.group(1)}.{m.group(2)}"] = v
+        elif k.startswith("features."):
+            vgg_sd[k] = v
+        elif re.match(r"lin\d+\.", k):
+            lin_sd[k] = v
+    return vgg_sd, lin_sd
+
 
 if __name__ == "__main__":
     run()
