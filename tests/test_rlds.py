@@ -227,3 +227,166 @@ def test_rlds_dataset_jpeg_native_decode(tmp_path):
     b = ds.next_batch()
     assert b["raw_pixel_values"].shape == (2, 9, 32, 32, 3)
     assert b["raw_pixel_values"].std() > 1.0  # actually decoded, not zeros
+
+
+# --------------------------------------------------------------- round-2 tests
+def _write_marked_dataset(tmp_path, cfg, per_file_episodes, T=12):
+    """Shards whose episodes carry a constant image value identifying
+    (file, episode) so batches can be attributed to their source."""
+    d = tmp_path / cfg.dataset_name
+    d.mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    for fi, marks in enumerate(per_file_episodes):
+        payloads = []
+        for mark in marks:
+            imgs = [
+                tf.io.encode_png(np.full((32, 32, 3), mark, np.uint8)).numpy()
+                for _ in range(T)
+            ]
+            actions = rng.uniform(-0.4, 0.4, (T, 7))
+            states = rng.normal(size=(T, 8))
+            payloads.append(
+                make_episode_example(imgs, actions, states, f"ep {mark}", cfg)
+            )
+        write_records(str(d / f"shard-{fi}.tfrecord"), payloads)
+    return str(tmp_path)
+
+
+def _marks_of(batch):
+    return set(batch["raw_pixel_values"][:, 0, 0, 0, 0].tolist())
+
+
+def test_batch_episode_diversity(tmp_path):
+    """A batch must mix windows from multiple episodes (round 1 emitted the
+    first B consecutive windows of one episode; reference shuffles a 10k
+    buffer over interleaved files, datasets.py:128-219)."""
+    cfg = RLDSConfig(
+        data_dir="", dataset_name="fake_ds", window_frames=9, action_chunk=8,
+        policy_image_size=28, wm_image_size=32, shuffle_buffer_size=64,
+    )
+    data_dir = _write_marked_dataset(tmp_path, cfg, [[50, 100, 150]])
+    cfg = RLDSConfig(**{**cfg.__dict__, "data_dir": data_dir})
+    ds = RLDSDataset(cfg, StubTokenizer(), batch_size=8, max_seq_len=96)
+    marks = _marks_of(ds.next_batch())
+    assert len(marks) >= 2, f"batch drew from a single episode: {marks}"
+    for _ in range(3):
+        marks |= _marks_of(ds.next_batch())
+    assert marks == {50, 100, 150}
+
+
+def test_val_split_single_shard(tmp_path):
+    """Single-shard datasets hold out every Nth episode for validation."""
+    base = RLDSConfig(
+        data_dir="", dataset_name="fake_ds", window_frames=9, action_chunk=8,
+        policy_image_size=28, wm_image_size=32, shuffle_buffer_size=32,
+        val_fraction=0.34,
+    )
+    data_dir = _write_marked_dataset(tmp_path, base, [[50, 100, 150]])
+    train_cfg = RLDSConfig(**{**base.__dict__, "data_dir": data_dir, "split": "train"})
+    val_cfg = RLDSConfig(**{**base.__dict__, "data_dir": data_dir, "split": "val"})
+    train = RLDSDataset(train_cfg, StubTokenizer(), batch_size=4, max_seq_len=96)
+    val = RLDSDataset(
+        val_cfg, StubTokenizer(), batch_size=4, max_seq_len=96, stats=train.stats
+    )
+    train_marks, val_marks = set(), set()
+    for _ in range(4):
+        train_marks |= _marks_of(train.next_batch())
+        val_marks |= _marks_of(val.next_batch())
+    assert val_marks == {150}  # every-3rd episode held out
+    assert train_marks == {50, 100}
+
+
+def test_val_split_whole_shards(tmp_path):
+    """Multi-shard datasets hold out whole files."""
+    base = RLDSConfig(
+        data_dir="", dataset_name="fake_ds", window_frames=9, action_chunk=8,
+        policy_image_size=28, wm_image_size=32, shuffle_buffer_size=32,
+        val_fraction=0.34,
+    )
+    data_dir = _write_marked_dataset(tmp_path, base, [[10, 20], [110, 120], [210, 220]])
+    train_cfg = RLDSConfig(**{**base.__dict__, "data_dir": data_dir, "split": "train"})
+    val_cfg = RLDSConfig(**{**base.__dict__, "data_dir": data_dir, "split": "val"})
+    train = RLDSDataset(train_cfg, StubTokenizer(), batch_size=4, max_seq_len=96)
+    val = RLDSDataset(
+        val_cfg, StubTokenizer(), batch_size=4, max_seq_len=96, stats=train.stats
+    )
+    train_marks, val_marks = set(), set()
+    for _ in range(4):
+        train_marks |= _marks_of(train.next_batch())
+        val_marks |= _marks_of(val.next_batch())
+    assert val_marks <= {10, 20} and val_marks
+    assert train_marks == {110, 120, 210, 220}
+
+
+def test_stream_resume_deterministic(tmp_path):
+    """state_dict captures the stream position: two fresh datasets restored
+    from the same state produce identical batches, and the state advances
+    (round 1 restarted the stream and rng from scratch on resume)."""
+    cfg = RLDSConfig(
+        data_dir="", dataset_name="fake_ds", window_frames=9, action_chunk=8,
+        policy_image_size=28, wm_image_size=32, shuffle_buffer_size=16,
+    )
+    data_dir = _write_marked_dataset(tmp_path, cfg, [[50, 100], [150, 200]])
+    cfg = RLDSConfig(**{**cfg.__dict__, "data_dir": data_dir})
+
+    def fresh():
+        return RLDSDataset(cfg, StubTokenizer(), batch_size=4, max_seq_len=96)
+
+    ds = fresh()
+    st0 = ds.state_dict()
+    for _ in range(3):
+        ds.next_batch()
+    st = ds.state_dict()
+    assert st != st0
+    assert st["step"] == 3
+    a, b = fresh(), fresh()
+    a.load_state_dict(st)
+    b.load_state_dict(st)
+    ba, bb = a.next_batch(), b.next_batch()
+    for k in ba:
+        np.testing.assert_array_equal(ba[k], bb[k])
+    # trainer checkpoint round-trip shape: values survive np.asarray + int
+    rt = {k: int(np.asarray(v)) for k, v in st.items()}
+    c = fresh()
+    c.load_state_dict(rt)
+    bc = c.next_batch()
+    for k in ba:
+        np.testing.assert_array_equal(ba[k], bc[k])
+
+
+def test_same_seed_same_batches(tmp_path):
+    cfg = RLDSConfig(
+        data_dir="", dataset_name="fake_ds", window_frames=9, action_chunk=8,
+        policy_image_size=28, wm_image_size=32, shuffle_buffer_size=16,
+    )
+    data_dir = _write_marked_dataset(tmp_path, cfg, [[50, 100, 150]])
+    cfg = RLDSConfig(**{**cfg.__dict__, "data_dir": data_dir})
+    a = RLDSDataset(cfg, StubTokenizer(), batch_size=4, max_seq_len=96)
+    b = RLDSDataset(cfg, StubTokenizer(), batch_size=4, max_seq_len=96)
+    for _ in range(2):
+        ba, bb = a.next_batch(), b.next_batch()
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_resize_is_bilinear():
+    """The train/eval-path resize must filter, not nearest-sample (VERDICT
+    round 1: nearest aliasing shifted pixel statistics vs the reference)."""
+    from vla_rft_tpu.data.rlds import _resize
+
+    # a 2x-checkerboard downsampled 2x: bilinear averages to mid-gray,
+    # nearest keeps pure black/white
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[::2, ::2] = 255
+    img[1::2, 1::2] = 255
+    small = _resize(img, 32)
+    frac_pure = np.mean((small == 0) | (small == 255))
+    assert frac_pure < 0.5, "resize looks nearest-neighbor (pure pixels survive)"
+
+
+def test_corrupt_jpeg_raises():
+    from vla_rft_tpu.data.image_ops import decode_jpeg_batch
+
+    corrupt = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+    with pytest.raises(Exception):
+        decode_jpeg_batch([corrupt], 16, 16)

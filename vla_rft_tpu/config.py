@@ -123,6 +123,10 @@ def vla_rft_default_config() -> Config:
                 "train_batch_size": 16,
                 "val_batch_size": 4,
                 "shuffle_buffer_size": 100_000,
+                # held-out validation data: fraction of shards (episodes when
+                # single-shard) consumed by trainer.validate() — the
+                # reference's val dataloader (ray_trainer.py:1157-1214)
+                "val_fraction": 0.0,
                 "image_aug": True,
                 "use_raw_image": True,
                 "max_prompt_length": 1095,

@@ -94,11 +94,40 @@ def decode_jpeg_batch(
 
     bufs = (ctypes.c_char_p * n)(*encoded)
     lens = (ctypes.c_size_t * n)(*[len(b) for b in encoded])
-    lib.decode_jpeg_resize_batch(
+    ok = lib.decode_jpeg_resize_batch(
         bufs, lens, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_h, out_w, threads,
     )
+    if ok != n:
+        # Some slot failed (corrupt JPEG or larger than the C++ bound) and
+        # would otherwise ship as a silent black frame.  Re-decode through
+        # PIL, which raises on genuinely corrupt data instead of zero-filling.
+        import io
+
+        from PIL import Image
+
+        for i, b in enumerate(encoded):
+            img = Image.open(io.BytesIO(b)).convert("RGB")
+            if img.size != (out_w, out_h):
+                img = img.resize((out_w, out_h), Image.BILINEAR)
+            out[i] = np.asarray(img, np.uint8)
     return out
+
+
+def resize_bilinear_batch(images: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(n, h, w, 3) u8 -> (n, out_h, out_w, 3) u8 bilinear resize (full-image
+    "crop" through crop_resize_flip_batch — C++ threaded, PIL fallback).
+    Matches the reference's filtered resizes (processing_prismatic.py:38-90,
+    tf.image.resize in datasets.py) where round 1 used nearest-neighbor."""
+    images = np.ascontiguousarray(images, np.uint8)
+    n, h, w, _ = images.shape
+    if (h, w) == (out_h, out_w):
+        return images
+    zeros = np.zeros(n, np.int32)
+    return crop_resize_flip_batch(
+        images, zeros, zeros, np.full(n, h, np.int32), np.full(n, w, np.int32),
+        np.zeros(n, np.uint8), out_h, out_w,
+    )
 
 
 def crop_resize_flip_batch(

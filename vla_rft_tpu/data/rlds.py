@@ -9,6 +9,25 @@ tf.train.Example decode + image decode use the installed TF on CPU, and the
 window/shuffle/transform stages are plain numpy — the whole thing feeds the
 jitted trainer through host RAM, no tf.data graph.
 
+Sampling mirrors the reference's dlimp interleave + shuffle (datasets.py:
+128-219: tfds interleaved file reads feeding a 10k-sample shuffle buffer):
+
+* `_EpisodeStream` — an infinite, position-tracked episode iterator over a
+  subset of the shards (per-epoch file-order shuffle, resumable from
+  (epoch, file, episode) counters — the StatefulDataLoader analog,
+  ray_trainer.py:722-732).
+* K streams over disjoint shard subsets are drained round-robin (the
+  tf.data.interleave analog) into a reservoir of `shuffle_buffer_size`
+  windows; each batch draw replaces the drawn slot with the next window from
+  the interleave.  Windows hold numpy *views* into their episode's arrays, so
+  buffer memory is bounded by the number of distinct episodes alive.
+* a held-out validation split (`split="val"`): whole shards when there are
+  enough files, every-Nth-episode otherwise (the reference's val dataloader,
+  ray_trainer.py:1157-1214).
+
+All randomness is derived from (seed, process_index, counter) tuples so the
+stream is exactly resumable and every host draws distinct data.
+
 Feature keys default to the TFDS RLDS layout of modified_libero_rlds; all are
 configurable.
 """
@@ -40,6 +59,10 @@ class RLDSConfig:
     policy_image_size: int = 224
     wm_image_size: int = 256
     shuffle_buffer_size: int = 10_000
+    interleave_streams: int = 4
+    # validation holdout: fraction of shards (episodes when single-shard)
+    val_fraction: float = 0.0
+    split: str = "train"  # "train" | "val"
     seed: int = 0
 
 
@@ -61,7 +84,11 @@ def _decode_example(raw: bytes, cfg: RLDSConfig) -> Dict[str, Any]:
     if img_bytes and img_bytes[0][:3] == b"\xff\xd8\xff":
         from vla_rft_tpu.data.image_ops import decode_jpeg_batch, jpeg_dims
 
-        dims = jpeg_dims(img_bytes[0])
+        # probe every frame's SOF header (cheap, no decode): mixed-size
+        # episodes decode at the max dims so no frame loses information
+        all_dims = [jpeg_dims(b) for b in img_bytes]
+        if all(d is not None for d in all_dims):
+            dims = (max(d[0] for d in all_dims), max(d[1] for d in all_dims))
     if dims is not None:
         # JPEG frames: native threaded decode (csrc/image_ops.cc) — no TF op
         images = list(decode_jpeg_batch(img_bytes, dims[0], dims[1]))
@@ -124,16 +151,83 @@ def augment_image(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 def _resize(img: np.ndarray, size: int) -> np.ndarray:
-    h, w = img.shape[:2]
-    if (h, w) == (size, size):
+    """Bilinear square resize (C++ threaded kernel, PIL fallback) — matches
+    the reference's filtered resizes; see image_ops.resize_bilinear_batch."""
+    if img.shape[:2] == (size, size):
         return img
-    ys = (np.arange(size) * h // size).clip(0, h - 1)
-    xs = (np.arange(size) * w // size).clip(0, w - 1)
-    return img[ys][:, xs]
+    from vla_rft_tpu.data.image_ops import resize_bilinear_batch
+
+    return resize_bilinear_batch(img[None], size, size)[0]
+
+
+def _resize_frames(frames: np.ndarray, size: int) -> np.ndarray:
+    if frames.shape[1:3] == (size, size):
+        return frames
+    from vla_rft_tpu.data.image_ops import resize_bilinear_batch
+
+    return resize_bilinear_batch(frames, size, size)
+
+
+class _EpisodeStream:
+    """Infinite episode iterator over `files`, shuffling file order each epoch
+    with rng seeded (seed..., epoch).  Position = (epoch, file_i, ep_i) —
+    resumable by skipping ep_i records of the current file without decoding."""
+
+    def __init__(
+        self,
+        files: List[str],
+        cfg: RLDSConfig,
+        seed: tuple,
+        ep_filter: Optional[Callable[[int], bool]] = None,
+    ):
+        self.files = files
+        self.cfg = cfg
+        self.seed = seed
+        self.ep_filter = ep_filter
+        self.epoch = 0
+        self.file_i = 0
+        self.ep_i = 0
+        self._rec_iter = None
+
+    def _file_order(self) -> np.ndarray:
+        order = np.arange(len(self.files))
+        np.random.default_rng((*self.seed, self.epoch)).shuffle(order)
+        return order
+
+    def next_episode(self) -> Dict[str, Any]:
+        while True:
+            if self._rec_iter is None:
+                path = self.files[self._file_order()[self.file_i]]
+                self._rec_iter = read_records(path)
+                for _ in range(self.ep_i):  # fast-forward after resume
+                    next(self._rec_iter, None)
+            raw = next(self._rec_iter, None)
+            if raw is None:
+                self._rec_iter = None
+                self.ep_i = 0
+                self.file_i += 1
+                if self.file_i >= len(self.files):
+                    self.file_i = 0
+                    self.epoch += 1
+                continue
+            idx = self.ep_i
+            self.ep_i += 1
+            if self.ep_filter is not None and not self.ep_filter(idx):
+                continue
+            return _decode_example(raw, self.cfg)
+
+    def state_dict(self) -> Dict[str, int]:
+        return {"epoch": self.epoch, "file_i": self.file_i, "ep_i": self.ep_i}
+
+    def load_state_dict(self, state) -> None:
+        self.epoch = int(state["epoch"])
+        self.file_i = int(state["file_i"])
+        self.ep_i = int(state["ep_i"])
+        self._rec_iter = None
 
 
 class RLDSDataset:
-    """Windowed episode stream -> trainer batches.
+    """Interleaved + reservoir-shuffled windowed episode stream -> batches.
 
     Yields dicts with the RFT trainer's fields (ray_trainer.py:1562-1583):
     pixel_values (B,224,224,6), proprio, input_ids/attention_mask/labels,
@@ -156,38 +250,93 @@ class RLDSDataset:
         self.max_seq_len = max_seq_len
         self.pad_token_id = pad_token_id
         self.image_aug = image_aug
-        self._rng = np.random.default_rng(cfg.seed)
         self._step = 0
 
         pattern = os.path.join(cfg.data_dir, cfg.dataset_name, "*.tfrecord*")
-        self.files = sorted(glob.glob(pattern))
-        if not self.files:
+        all_files = sorted(glob.glob(pattern))
+        if not all_files:
             raise FileNotFoundError(f"no tfrecords match {pattern}")
-        # dataset statistics come from the SAME files on every host (tiny
-        # sample; stats must agree globally for normalization parity)
-        self.stats = stats or self._compute_stats()
+        # dataset statistics come from the SAME files on every host and for
+        # both splits (tiny global sample; stats must agree for normalization
+        # parity — computed before any split/stripe)
+        self.stats = stats or self._compute_stats(all_files)
+
+        ep_filter = None
+        files = all_files
+        if cfg.val_fraction > 0:
+            if len(all_files) > 1:
+                n_val = max(1, round(len(all_files) * cfg.val_fraction))
+                n_val = min(n_val, len(all_files) - 1)
+                stride = len(all_files) / n_val
+                val_idx = {int(i * stride) for i in range(n_val)}
+                pick = (
+                    (lambda i: i in val_idx)
+                    if cfg.split == "val"
+                    else (lambda i: i not in val_idx)
+                )
+                files = [f for i, f in enumerate(all_files) if pick(i)]
+            else:
+                # single shard: hold out every Nth episode
+                mod = max(2, round(1 / cfg.val_fraction))
+                if cfg.split == "val":
+                    ep_filter = lambda i: i % mod == mod - 1
+                else:
+                    ep_filter = lambda i: i % mod != mod - 1
+        elif cfg.split == "val":
+            raise ValueError("split='val' requires val_fraction > 0")
+        self.files = files
+
         # multi-host: each process reads only its stripe of the shards (the
         # reference interleaves via tf.data over per-host file subsets;
-        # ray_trainer chunks DataProto per rank).  Falls back to all files
-        # when there are fewer shards than processes.
+        # ray_trainer chunks DataProto per rank).  When there are fewer
+        # shards than processes every host keeps all files but draws with a
+        # process-distinct rng seed, so batches still differ across hosts.
         import jax as _jax
 
-        pc, pi = _jax.process_count(), _jax.process_index()
+        pc, self._pi = _jax.process_count(), _jax.process_index()
         if pc > 1 and len(self.files) >= pc:
-            self.files = self.files[pi::pc]
-            self._rng = np.random.default_rng(cfg.seed + pi)
+            self.files = self.files[self._pi :: pc]
+
+        # interleave streams over disjoint shard subsets
+        k = max(1, min(cfg.interleave_streams, len(self.files)))
+        self._streams = [
+            _EpisodeStream(
+                self.files[i::k], cfg, (cfg.seed, self._pi, i), ep_filter
+            )
+            for i in range(k)
+        ]
+        self._stream_rr = 0  # next stream to draw an episode from
+        self._window_queue: List[Dict[str, Any]] = []  # current episode's windows
+        self._buffer: List[Dict[str, Any]] = []  # reservoir
 
     # ------------------------------------------------------------------ state
     def state_dict(self):
-        return {"step": self._step}
+        state = {"step": self._step, "stream_rr": self._stream_rr}
+        for i, s in enumerate(self._streams):
+            for k, v in s.state_dict().items():
+                state[f"s{i}_{k}"] = v
+        return state
 
     def load_state_dict(self, state):
+        """Restore the stream positions + step counter.  The reservoir and
+        the current episode's window queue are refilled from the restored
+        position (their exact pre-save contents are not reconstructed — the
+        stream continues through the data instead of restarting, the
+        StatefulDataLoader posture of ray_trainer.py:722-732)."""
         self._step = int(state["step"])
+        self._stream_rr = int(state.get("stream_rr", 0))
+        for i, s in enumerate(self._streams):
+            if f"s{i}_epoch" in state:
+                s.load_state_dict(
+                    {k: state[f"s{i}_{k}"] for k in ("epoch", "file_i", "ep_i")}
+                )
+        self._window_queue = []
+        self._buffer = []
 
     # ------------------------------------------------------------------ stats
-    def _compute_stats(self) -> Dict:
+    def _compute_stats(self, files: List[str]) -> Dict:
         acts, props = [], []
-        for f in self.files[:4]:  # sample a few shards
+        for f in files[:4]:  # sample a few shards (global, pre-split order)
             for raw in read_records(f):
                 ep = _decode_example(raw, self.cfg)
                 acts.append(ep["actions"])
@@ -202,23 +351,14 @@ class RLDSDataset:
             json.dump(self.stats, f)
 
     # ---------------------------------------------------------------- windows
-    def _episodes(self) -> Iterator[Dict[str, Any]]:
-        files = list(self.files)
-        while True:
-            self._rng.shuffle(files)
-            for f in files:
-                for raw in read_records(f):
-                    yield _decode_example(raw, self.cfg)
-
-    def _windows(self) -> Iterator[Dict[str, Any]]:
+    def _episode_windows(self, ep: Dict[str, Any]) -> List[Dict[str, Any]]:
         F = self.cfg.window_frames
         C = self.cfg.action_chunk
-        for ep in self._episodes():
-            T = len(ep["images"])
-            if T < F:
-                continue
-            for t in range(T - F + 1):
-                yield {
+        T = len(ep["images"])
+        out = []
+        for t in range(T - F + 1):
+            out.append(
+                {  # numpy views into the episode's arrays (no copies)
                     "frames": ep["images"][t : t + F],
                     "actions": ep["actions"][t : t + C],
                     "proprio": (
@@ -228,6 +368,27 @@ class RLDSDataset:
                     ),
                     "lang": ep["lang"],
                 }
+            )
+        return out
+
+    def _next_window(self) -> Dict[str, Any]:
+        """Next window from the round-robin episode interleave."""
+        while not self._window_queue:
+            s = self._streams[self._stream_rr % len(self._streams)]
+            self._stream_rr += 1
+            self._window_queue = self._episode_windows(s.next_episode())
+        return self._window_queue.pop(0)
+
+    def _fill_buffer(self) -> None:
+        """Fill the reservoir up to shuffle_buffer_size windows — but never
+        past one full cycle of the (finite) data: once every stream has
+        completed an epoch during the fill, the buffer already holds the
+        whole dataset and growing it further would only add duplicates."""
+        target = max(1, self.cfg.shuffle_buffer_size)
+        while len(self._buffer) < target:
+            self._buffer.append(self._next_window())
+            if all(s.epoch >= 1 for s in self._streams):
+                break
 
     # ----------------------------------------------------------------- batches
     def next_batch(self) -> Dict[str, np.ndarray]:
@@ -235,10 +396,16 @@ class RLDSDataset:
 
         self._step += 1
         cfg = self.cfg
+        # all per-batch randomness (reservoir draws, augmentation) derives
+        # from (seed, process, step): exactly resumable, distinct per host
+        rng = np.random.default_rng((cfg.seed, self._pi, self._step))
+        self._fill_buffer()
+
         samples, metas = [], []
-        it = self._windows()
         for _ in range(self.batch_size):
-            w = next(it)
+            idx = int(rng.integers(len(self._buffer)))
+            w = self._buffer[idx]
+            self._buffer[idx] = self._next_window()
             actions = normalize_bounds_q99(w["actions"], self.stats["action"])
             s = build_vla_sample(self.tokenizer, w["lang"], actions)
             samples.append(s)
@@ -249,12 +416,10 @@ class RLDSDataset:
         for w, actions in metas:
             frame0 = w["frames"][0]
             if self.image_aug:
-                frame0 = augment_image(frame0, self._rng)
+                frame0 = augment_image(frame0, rng)
             img = _resize(frame0, cfg.policy_image_size).astype(np.float32) / 255.0
             pix.append(np.concatenate([img, img], axis=-1))  # siglip|dino stacks
-            raw.append(
-                np.stack([_resize(f, cfg.wm_image_size) for f in w["frames"]]).astype(np.uint8)
-            )
+            raw.append(_resize_frames(w["frames"], cfg.wm_image_size))
             prop.append(
                 normalize_bounds_q99(w["proprio"], self.stats["proprio"])
                 if "proprio" in self.stats
@@ -263,7 +428,7 @@ class RLDSDataset:
             acts.append(actions)
         return {
             "pixel_values": np.stack(pix).astype(np.float32),
-            "raw_pixel_values": np.stack(raw),
+            "raw_pixel_values": np.stack(raw).astype(np.uint8),
             "proprio": np.stack(prop).astype(np.float32),
             "actions": np.stack(acts).astype(np.float32),
             **coll,

@@ -74,6 +74,7 @@ class VLARFTGRPOTrainer:
         preset: str = "libero",
         mesh=None,
         dataset=None,
+        val_dataset=None,
         action_ranges: Optional[np.ndarray] = None,
         params: Optional[Dict[str, Any]] = None,
         seed: Optional[int] = None,
@@ -99,6 +100,11 @@ class VLARFTGRPOTrainer:
                 seed=config.trainer.get("seed", 0),
             )
         )
+        # validation draws from a HELD-OUT split when one is provided
+        # (ray_trainer.py:1157-1214 builds a separate val dataloader); the
+        # synthetic fallback keeps the round-1 behavior of sampling the
+        # training stream.
+        self.val_dataset = val_dataset if val_dataset is not None else self.dataset
         if action_ranges is None:
             ranges_path = config.processor.get("action_ranges_path", None)
             if ranges_path:
@@ -658,7 +664,7 @@ class VLARFTGRPOTrainer:
         use_gt_ac = cfg.world_model_rollout.rollout.w_gt_ac and cfg.processor.use_img_gt_ac
         scores, losses = [], {}
         for it in range(cfg.trainer.val_iters):
-            batch_np = self.dataset.next_batch()
+            batch_np = self.val_dataset.next_batch()
             rng, r_noise, r_roll, r_wm, r_wm_gt = jax.random.split(rng, 5)
             batch = shard_batch(self.mesh, {k: jnp.asarray(v) for k, v in batch_np.items()})
             enc = {

@@ -25,23 +25,36 @@ def run(argv=None):
 
     from vla_rft_tpu.trainer.grpo_trainer import VLARFTGRPOTrainer
 
-    dataset = None
+    dataset = val_dataset = None
     ds_path = config.data.video.dataset_path
     if ds_path:
         from vla_rft_tpu.data.rlds import RLDSConfig, RLDSDataset
 
         tokenizer = _load_tokenizer(config)
+        val_fraction = float(config.data.get("val_fraction", 0.0) or 0.0)
+        ds_cfg = dict(
+            data_dir=ds_path,
+            dataset_name=config.data.video.dataset_name,
+            shuffle_buffer_size=config.data.shuffle_buffer_size,
+            val_fraction=val_fraction,
+        )
         dataset = RLDSDataset(
-            RLDSConfig(
-                data_dir=ds_path,
-                dataset_name=config.data.video.dataset_name,
-                shuffle_buffer_size=config.data.shuffle_buffer_size,
-            ),
+            RLDSConfig(**ds_cfg, split="train"),
             tokenizer,
             batch_size=config.data.train_batch_size,
+            image_aug=bool(config.data.get("image_aug", False)),
         )
+        if val_fraction > 0:
+            val_dataset = RLDSDataset(
+                RLDSConfig(**ds_cfg, split="val"),
+                tokenizer,
+                batch_size=config.data.train_batch_size,
+                stats=dataset.stats,  # normalization must match training
+            )
 
-    trainer = VLARFTGRPOTrainer(config, preset=preset, dataset=dataset)
+    trainer = VLARFTGRPOTrainer(
+        config, preset=preset, dataset=dataset, val_dataset=val_dataset
+    )
     _maybe_load_pretrained(trainer, config)
     trainer.fit()
 
