@@ -160,3 +160,96 @@ def test_validate_dumps_frame_grid(trainer, tmp_path):
     files = glob.glob(str(tmp_path / "imgs" / "*val_frames*"))
     assert files, "no frame grid dumped"
     trainer.config.trainer.img_save_dir = None
+
+
+def test_ppo_update_non_divisible_batches(tmp_path_factory):
+    """total=6 with mini=4/micro=4: the second mini-batch (2 rows) must be
+    padded+masked, not truncated or reshape-crashed (round-1 dropped
+    `len(idx) % micro` rows silently)."""
+    c = _tiny_config(tmp_path_factory.mktemp("rft_nd"))
+    c.data.train_batch_size = 3  # B*n = 6
+    c.actor_rollout_ref.actor.ppo_mini_batch_size = 4
+    c.actor_rollout_ref.actor.ppo_micro_batch_size_per_gpu = 4
+    c.actor_rollout_ref.rollout.log_prob_micro_batch_size_per_gpu = 6
+    mesh = make_mesh(MeshConfig(dp=1), devices=jax.devices()[:1])
+    tr = VLARFTGRPOTrainer(c, preset="tiny", mesh=mesh)
+    metrics = tr.training_step(tr.dataset.next_batch(), jax.random.key(0))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite: {v}"
+
+
+def test_mb_mask_padding_matches_unpadded_loss():
+    """A micro-batch padded with masked duplicate rows must produce the same
+    loss/metrics as the unpadded micro-batch."""
+    from vla_rft_tpu.models.action_head import ActionExpert, ActionHeadConfig
+    from vla_rft_tpu.workers import flow_actor
+    from vla_rft_tpu.config import vla_rft_default_config
+
+    cfg = ActionHeadConfig(
+        llm_dim=16, dit_hidden=16, dit_depth=1, dit_heads=2, action_dim=7,
+        num_actions_chunk=2, num_flow_steps=2, dtype=jnp.float32,
+    )
+    expert = ActionExpert(cfg)
+    rng = np.random.default_rng(0)
+    B, K = 3, 3  # 3 real rows; K = num_flow_steps+1 chain states
+    hidden = jnp.asarray(rng.normal(size=(B, 4, 16)), jnp.float32)
+    chunk = cfg.num_actions_chunk * cfg.action_dim
+    batch = {
+        "x_chain": jnp.asarray(rng.normal(size=(B, K, cfg.num_actions_chunk, cfg.action_dim)), jnp.float32),
+        "proprio": jnp.asarray(rng.normal(size=(B, 8)), jnp.float32),
+        "old_log_probs": jnp.asarray(rng.normal(size=(B, chunk)), jnp.float32),
+        "advantages": jnp.asarray(rng.normal(size=(B, chunk)), jnp.float32),
+        # mse / kl / l1 branch inputs (exercise their masked aggregations too)
+        "flow": jnp.asarray(rng.normal(size=(B, cfg.num_actions_chunk, cfg.action_dim)), jnp.float32),
+        "gt_noisy_actions": jnp.asarray(rng.normal(size=(B, cfg.num_actions_chunk, cfg.action_dim)), jnp.float32),
+        "gt_timesteps": jnp.asarray(rng.uniform(size=(B,)), jnp.float32),
+        "ref_log_probs": jnp.asarray(rng.normal(size=(B, chunk)), jnp.float32),
+        "gt_actions": jnp.asarray(rng.normal(size=(B, cfg.num_actions_chunk, cfg.action_dim)), jnp.float32),
+        "predicted_actions": jnp.asarray(rng.normal(size=(B, cfg.num_actions_chunk, cfg.action_dim)), jnp.float32),
+    }
+    params = expert.init(
+        jax.random.key(0), hidden, batch["x_chain"][:, 0], jnp.zeros((B,)),
+        batch["proprio"],
+    )
+    acfg = vla_rft_default_config().actor_rollout_ref.actor
+    loss_a, m_a = flow_actor.policy_loss_fn(expert, params, hidden, batch, acfg)
+
+    pad = {k: jnp.concatenate([v, v[:1]], 0) for k, v in batch.items()}
+    pad["mb_mask"] = jnp.asarray([1, 1, 1, 0], jnp.float32)
+    hidden_p = jnp.concatenate([hidden, hidden[:1]], 0)
+    loss_b, m_b = flow_actor.policy_loss_fn(expert, params, hidden_p, pad, acfg)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), rtol=1e-5, err_msg=k)
+
+
+def test_advantage_estimator_dispatch(trainer):
+    """rloo / reinforce++(-baseline) run through the VLA advantage stage
+    (ray_trainer.py:182-237 dispatch); remax raises the reference's
+    NotImplementedError (ray_trainer.py:1733-1734).  Runs LAST in this module
+    (rebuilding stage fns drops the shared fixture's jit caches)."""
+    n = trainer.config.actor_rollout_ref.rollout.n
+    B = trainer.config.data.train_batch_size
+    rewards = jnp.asarray(
+        np.random.default_rng(1).normal(size=(B * n, 2)), jnp.float32
+    )
+    gids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), n)
+    chunk = (
+        trainer.bundle.expert_cfg.num_actions_chunk
+        * trainer.bundle.expert_cfg.action_dim
+    )
+    orig = trainer.config.algorithm.adv_estimator
+    try:
+        for est in ("rloo", "reinforce_plus_plus_baseline", "reinforce_plus_plus"):
+            trainer.config.algorithm.adv_estimator = est
+            trainer._build_stage_fns()
+            adv, ret = trainer._advantage(rewards, gids, int(B))
+            assert adv.shape == (B * n, chunk), est
+            assert np.isfinite(np.asarray(adv)).all(), est
+        trainer.config.algorithm.adv_estimator = "remax"
+        trainer._build_stage_fns()
+        with pytest.raises(NotImplementedError):
+            trainer._advantage(rewards, gids, int(B))
+    finally:
+        trainer.config.algorithm.adv_estimator = orig
+        trainer._build_stage_fns()

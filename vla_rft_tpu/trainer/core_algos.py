@@ -188,14 +188,19 @@ def compute_rewards(token_level_scores, old_log_prob, ref_log_prob, kl_ratio):
 
 # ------------------------------------------------------------------- losses
 def agg_loss(loss_mat: jnp.ndarray, loss_mask: jnp.ndarray, loss_agg_mode: str):
+    """core_algos.py:313-338 — with one divergence: fully-masked rows (padding
+    the trainer adds to fill a short final micro-batch) drop out of the
+    seq-mean denominators instead of producing 0-contributions / NaNs."""
     if loss_agg_mode == "token-mean":
         return masked_mean(loss_mat, loss_mask)
+    row_tokens = jnp.sum(loss_mask, axis=-1)
+    valid = (row_tokens > 0).astype(loss_mat.dtype)
+    n_valid = jnp.maximum(valid.sum(), 1.0)
     if loss_agg_mode == "seq-mean-token-sum":
-        return jnp.mean(jnp.sum(loss_mat * loss_mask, axis=-1))
+        return jnp.sum(jnp.sum(loss_mat * loss_mask, axis=-1)) / n_valid
     if loss_agg_mode == "seq-mean-token-mean":
-        return jnp.mean(
-            jnp.sum(loss_mat * loss_mask, axis=-1) / jnp.sum(loss_mask, axis=-1)
-        )
+        per_seq = jnp.sum(loss_mat * loss_mask, axis=-1) / jnp.maximum(row_tokens, 1.0)
+        return jnp.sum(per_seq * valid) / n_valid
     raise ValueError(f"Invalid loss_agg_mode: {loss_agg_mode}")
 
 

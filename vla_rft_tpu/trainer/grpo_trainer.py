@@ -302,15 +302,43 @@ class VLARFTGRPOTrainer:
 
         @functools.partial(jax.jit, static_argnums=(2,))
         def advantage_fn(token_level_rewards, group_ids, num_groups):
+            """compute_advantage dispatch for the VLA loop (ray_trainer.py:
+            182-237 with the dummy all-ones (B, 8*7) response mask of
+            compute_dummy_response_mask:178-180).  gae needs a critic and
+            remax a greedy-baseline rollout — neither exists in the VLA RFT
+            loop (the reference raises for REMAX there, ray_trainer.py:
+            1733-1734)."""
+            est = cfg.algorithm.adv_estimator
             response_mask = jnp.ones(
                 (token_level_rewards.shape[0], chunk_dims), jnp.float32
             )
-            if cfg.algorithm.adv_estimator == "grpo":
+            if est == "grpo":
                 return core_algos.compute_grpo_outcome_advantage(
                     token_level_rewards, response_mask, group_ids, num_groups,
                     uniform_std=uniform_std,
                 )
-            raise NotImplementedError(cfg.algorithm.adv_estimator)
+            if est == "rloo":
+                return core_algos.compute_rloo_outcome_advantage(
+                    token_level_rewards, response_mask, group_ids, num_groups
+                )
+            if est == "reinforce_plus_plus_baseline":
+                return core_algos.compute_reinforce_plus_plus_baseline_outcome_advantage(
+                    token_level_rewards, response_mask, group_ids, num_groups
+                )
+            if est == "reinforce_plus_plus":
+                # discounted returns over the per-frame reward grid, then each
+                # frame's advantage broadcast over its 7 action dims (the
+                # reference's shapes crash on this path — frames and the 8*7
+                # dummy mask never align; this is the faithful alignment)
+                frame_mask = jnp.ones_like(token_level_rewards)
+                adv, ret = core_algos.compute_reinforce_plus_plus_outcome_advantage(
+                    token_level_rewards, frame_mask, cfg.algorithm.gamma
+                )
+                reps = chunk_dims // adv.shape[-1]
+                return jnp.repeat(adv, reps, -1), jnp.repeat(ret, reps, -1)
+            if est == "remax":
+                raise NotImplementedError("REMAX is not supported yet")
+            raise NotImplementedError(est)
 
         grad_clip = actor_cfg.grad_clip
 
@@ -640,10 +668,21 @@ class VLARFTGRPOTrainer:
                 )
             for i in range(0, total, mini):
                 idx = order[i : i + mini]
+                # pad a non-divisible mini-batch up to a whole number of
+                # micro-batches by repeating rows; mb_mask zeros the padding
+                # inside the loss so no sample is dropped or double-counted
+                # (round 1 silently truncated `len(idx) % micro` rows and
+                # reshape-crashed when the final mini-batch was < micro)
+                pad = (-len(idx)) % micro
+                mask = np.ones(len(idx) + pad, np.float32)
+                if pad:
+                    idx = np.concatenate([idx, np.repeat(idx[:1], pad)])
+                    mask[-pad:] = 0.0
                 mb = {k: v[idx] for k, v in data.items()}
-                M = max(1, len(idx) // micro)
+                mb["mb_mask"] = jnp.asarray(mask)
+                M = len(idx) // micro
                 stacked = {
-                    k: v[: M * micro].reshape(M, micro, *v.shape[1:]) for k, v in mb.items()
+                    k: v.reshape(M, micro, *v.shape[1:]) for k, v in mb.items()
                 }
                 self.params["expert"], self.opt_state, m = self._update(
                     self.params["expert"], self.opt_state, stacked

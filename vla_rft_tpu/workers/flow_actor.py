@@ -249,6 +249,13 @@ def policy_loss_fn(
     old_logp = batch["old_log_probs"].astype(jnp.float32)
     advantages = batch["advantages"].astype(jnp.float32)
     response_mask = jnp.ones_like(advantages)
+    if "mb_mask" in batch:
+        # rows duplicated by the trainer to fill a short final micro-batch:
+        # fully masked so every aggregation ignores them (no sample is
+        # dropped, none counts twice)
+        response_mask = response_mask * batch["mb_mask"].astype(jnp.float32)[:, None]
+    row_w = response_mask[:, 0]  # per-sample validity (all-ones without mb_mask)
+    n_valid = jnp.maximum(row_w.sum(), 1.0)
 
     clip_ratio = cfg.clip_ratio
     pg_loss, pg_clipfrac, ppo_kl, pg_clipfrac_lower = core_algos.compute_policy_loss(
@@ -276,12 +283,11 @@ def policy_loss_fn(
     }
 
     if cfg.get("log_l1_loss", False) and "gt_actions" in batch:
-        l1 = jnp.mean(
-            jnp.abs(
-                batch["predicted_actions"].astype(jnp.float32)
-                - batch["gt_actions"].astype(jnp.float32)
-            )
-        )
+        l1_rows = jnp.abs(
+            batch["predicted_actions"].astype(jnp.float32)
+            - batch["gt_actions"].astype(jnp.float32)
+        ).reshape(row_w.shape[0], -1).mean(-1)
+        l1 = jnp.sum(l1_rows * row_w) / n_valid
         metrics["actor/l1_loss"] = jax.lax.stop_gradient(l1)
 
     if cfg.get("use_mse_loss", False):
@@ -299,9 +305,8 @@ def policy_loss_fn(
             batch["proprio"],
             method=expert.predict_flow,
         )
-        mse = jnp.mean(
-            (flow_pred.astype(jnp.float32) - batch["flow"].astype(jnp.float32)) ** 2
-        )
+        sq = (flow_pred.astype(jnp.float32) - batch["flow"].astype(jnp.float32)) ** 2
+        mse = jnp.sum(sq.reshape(row_w.shape[0], -1).mean(-1) * row_w) / n_valid
         policy_loss = policy_loss + mse * mse_coef
         metrics["actor/mse_loss"] = jax.lax.stop_gradient(mse)
         metrics["actor/mse_coef"] = mse_coef
@@ -312,7 +317,9 @@ def policy_loss_fn(
             batch["ref_log_probs"].astype(jnp.float32),
             cfg.kl_loss_type,
         )
-        kl_loss = core_algos.agg_loss(kld, jnp.ones_like(kld), cfg.loss_agg_mode)
+        kl_loss = core_algos.agg_loss(
+            kld, jnp.ones_like(kld) * row_w[:, None], cfg.loss_agg_mode
+        )
         policy_loss = policy_loss + kl_loss * cfg.kl_loss_coef
         metrics["actor/kl_loss"] = kl_loss
 
