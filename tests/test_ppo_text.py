@@ -275,12 +275,43 @@ def test_prime_code_scorer_stdin_stdout():
     score, meta = prime_code.compute_score(sol, cases)
     assert score == 1.0 and meta["passed"] == 2
 
-    # partial pass -> continuous fraction
+    # partial pass -> continuous fraction (the registry passes
+    # continuous=True; the scorer itself defaults False like the reference)
     bad = "```python\nn = int(input())\nprint(n * 2 if n < 5 else 0)\n```"
-    score, meta = prime_code.compute_score(bad, cases)
+    score, meta = prime_code.compute_score(bad, cases, continuous=True)
     assert score == 0.5 and meta["passed"] == 1
-    score, _ = prime_code.compute_score(bad, cases, continuous=False)
+    score, _ = prime_code.compute_score(bad, cases)
     assert score == 0.0
+
+
+def test_prime_code_bounds_failing_runs(monkeypatch):
+    """A failing generation must not execute every case: the scored loop is
+    capped at 10 (continuous) / first failure (binary) — the reference's
+    'enormous test cases' guard."""
+    from vla_rft_tpu.utils.reward_score import prime_code
+
+    calls = []
+    real = prime_code._run_one
+
+    def counting(code, inp, fn_name, timeout):
+        calls.append(inp)
+        return real(code, inp, fn_name, timeout)
+
+    monkeypatch.setattr(prime_code, "_run_one", counting)
+    bad = "```python\nprint('wrong')\n```"
+    cases = {"inputs": [f"{i}\n" for i in range(30)], "outputs": ["x"] * 30}
+    score, _ = prime_code.compute_score(bad, cases, continuous=True)
+    assert score == 0.0 and len(calls) == 10
+    calls.clear()
+    score, _ = prime_code.compute_score(bad, cases, continuous=False)
+    assert score == 0.0 and len(calls) == 1
+    # registry dispatch uses continuous scoring for code sources
+    calls.clear()
+    from vla_rft_tpu.utils.reward_score import default_compute_score
+
+    half = "```python\nn = int(input())\nprint(n * 2 if n < 1 else 0)\n```"
+    cases2 = {"inputs": ["0\n", "3\n"], "outputs": ["0\n", "6\n"]}
+    assert default_compute_score("apps", half, __import__("json").dumps(cases2)) == 0.5
 
 
 def test_prime_code_scorer_fn_name_and_guards():

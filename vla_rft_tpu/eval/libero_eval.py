@@ -45,12 +45,21 @@ class GenerateConfig:
 
 
 def resize_image_for_policy(img: np.ndarray, size: int) -> np.ndarray:
-    """Nearest-neighbor resize to (size, size) without external deps
-    (openvla_utils resize uses tf/PIL; policy towers re-normalize anyway)."""
-    h, w = img.shape[:2]
-    ys = (np.arange(size) * h // size).clip(0, h - 1)
-    xs = (np.arange(size) * w // size).clip(0, w - 1)
-    return img[ys][:, xs]
+    """openvla_utils.resize_image_for_policy (:551-575): JPEG round-trip
+    (training frames were JPEG — distribution matching) then an antialiased
+    lanczos3 resize.  PIL's LANCZOS is the same 3-lobe kernel as
+    tf.image.resize(method='lanczos3', antialias=True)."""
+    import io
+
+    from PIL import Image
+
+    pil = Image.fromarray(np.asarray(img, np.uint8))
+    buf = io.BytesIO()
+    pil.save(buf, format="JPEG", quality=95)
+    pil = Image.open(buf).convert("RGB")
+    if pil.size != (size, size):
+        pil = pil.resize((size, size), Image.LANCZOS)
+    return np.asarray(pil, np.uint8)
 
 
 def quat2axisangle(quat: np.ndarray) -> np.ndarray:

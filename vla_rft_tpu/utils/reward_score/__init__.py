@@ -39,7 +39,12 @@ def default_compute_score(
     if mod_name is None:
         raise NotImplementedError(f"no scorer for data source {data_source!r}")
     mod = importlib.import_module(f"vla_rft_tpu.utils.reward_score.{mod_name}")
-    res = mod.compute_score(solution_str, ground_truth)
+    if mod_name == "prime_code":
+        # reference registry passes continuous=True explicitly for code
+        # sources (__init__.py:41-42) while the scorer itself defaults False
+        res = mod.compute_score(solution_str, ground_truth, continuous=True)
+    else:
+        res = mod.compute_score(solution_str, ground_truth)
     # scorers may return score, (score, metadata), or {"score": ...}
     # (reference __init__.py:49-55)
     if isinstance(res, dict):

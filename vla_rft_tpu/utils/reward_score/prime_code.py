@@ -105,24 +105,40 @@ def _outputs_match(got: str, expected: Any, fn_name: str | None) -> bool:
 
 
 def check_correctness(
-    in_outs: Dict[str, Any], generation: str, timeout: float = _TIMEOUT_S
+    in_outs: Dict[str, Any],
+    generation: str,
+    timeout: float = _TIMEOUT_S,
+    stop_after: int | None = None,
 ) -> List[bool]:
-    """Run every case; result[i] = case i passed (utils.check_correctness
-    role, minus the manager/fork plumbing)."""
+    """Run the cases in order; result[i] = case i passed (utils.
+    check_correctness role, minus the manager/fork plumbing).
+
+    stop_after bounds the wall-clock of a failing generation: once a failure
+    is known AND at least `stop_after` cases have run, the remaining cases
+    are skipped (the reference caps its per-case loop at 10 for the same
+    reason — 'do not test all samples cuz some problems have enormous test
+    cases', prime_code/__init__.py:50).  A fully-passing generation still
+    runs every case, which the full-pass score requires."""
     fn_name = in_outs.get("fn_name")
-    results = []
+    results: List[bool] = []
+    failed = False
     for inp, out in zip(in_outs["inputs"], in_outs["outputs"]):
         ok, got = _run_one(generation, inp, fn_name, timeout)
         results.append(bool(ok and _outputs_match(got, out, fn_name)))
+        failed = failed or not results[-1]
+        if failed and stop_after is not None and len(results) >= stop_after:
+            break
     return results
 
 
 def compute_score(
-    completion: str, test_cases, continuous: bool = True
+    completion: str, test_cases, continuous: bool = False
 ) -> Tuple[float, Dict[str, Any]]:
-    """Returns (score, metadata). Mirrors prime_code.compute_score:
-    1.0 on full pass; else pass-fraction over the first 10 cases when
-    continuous, else 0.0."""
+    """Returns (score, metadata). Mirrors prime_code.compute_score
+    (__init__.py:21-76, continuous defaults False there too): 1.0 on full
+    pass; else pass-fraction over the first min(10, N) cases when continuous,
+    else 0.0.  A failing run stops after the scored prefix instead of paying
+    N subprocess timeouts."""
     solution = extract_code(completion)
     try:
         if not isinstance(test_cases, dict):
@@ -131,13 +147,16 @@ def compute_score(
         return 0.0, {"error": f"bad test cases: {e}"}
     if not test_cases.get("inputs"):
         return 0.0, {"error": "no test cases"}
+    total = len(test_cases["inputs"])
     try:
-        results = check_correctness(test_cases, solution)
+        results = check_correctness(
+            test_cases, solution, stop_after=10 if continuous else 1
+        )
     except Exception as e:
         return 0.0, {"error": f"execution failed: {e}"}
-    if all(results):
-        return 1.0, {"passed": len(results), "total": len(results)}
+    if len(results) == total and all(results):
+        return 1.0, {"passed": total, "total": total}
     if not continuous:
-        return 0.0, {"passed": sum(results), "total": len(results)}
-    head = results[: min(10, len(results))]
-    return sum(head) / len(head), {"passed": sum(results), "total": len(results)}
+        return 0.0, {"passed": sum(results), "total": total}
+    head = results[: min(10, total)]
+    return sum(head) / len(head), {"passed": sum(results), "total": total}
