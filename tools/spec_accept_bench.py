@@ -1,0 +1,159 @@
+"""Speculative-decode acceptance/speedup measurement on a STRUCTURED world
+model.
+
+Random-weight WMs accept ~0 drafts (every round-1 bench ran at worst case),
+so this tool first trains wm_llama_small for a few hundred steps on synthetic
+*repetitive video*: each frame's 64 dyn tokens are the previous frame's with
+a `--churn` fraction resampled — the temporal redundancy real video tokens
+have and copy-prev-frame drafts exploit.  It then times generate_sequences
+with spec_k=0 vs --spec-k and reports the draft-acceptance proxy (fraction of
+emitted dyn tokens equal to the same spatial position in the previous frame —
+exactly the events where a copy-prev draft is accepted).
+
+Usage:
+  python tools/spec_accept_bench.py [--train-steps 300] [--churn 0.1]
+      [--spec-k 5] [--batch 16] [--frames 8]
+Prints one JSON line with times + acceptance.
+"""
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+from vla_rft_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vla_rft_tpu.models.transformer import Decoder, TransformerConfig
+from vla_rft_tpu.workers.wm_rollout import WMRolloutConfig, generate_sequences
+
+V_DYN = 4375  # dyn-token vocab (response visual tokens live in [0, 4375))
+CTX_OFF = 4375  # ctx tokens in [4375, 8750)
+ACT_OFF = 8750  # action tokens in [8750, 9006)
+
+
+def make_batch(rng, B, ctx_len, frames, tokens_per_frame, action_dim, churn):
+    """[ctx | per frame: 64 dyn + 7 action] with temporally-repetitive dyn."""
+    ctx = rng.integers(CTX_OFF, ACT_OFF, (B, ctx_len))
+    v = tokens_per_frame
+    cur = rng.integers(0, V_DYN, (B, v))
+    seq = [ctx]
+    for _ in range(frames):
+        flip = rng.random((B, v)) < churn
+        cur = np.where(flip, rng.integers(0, V_DYN, (B, v)), cur)
+        acts = rng.integers(ACT_OFF, ACT_OFF + 256, (B, action_dim))
+        seq += [cur.copy(), acts]
+    return np.concatenate(seq, axis=1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-steps", type=int, default=300)
+    ap.add_argument("--churn", type=float, default=0.1)
+    ap.add_argument("--spec-k", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--ctx-len", type=int, default=128)
+    ap.add_argument("--tokens-per-frame", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--greedy", action="store_true")
+    args = ap.parse_args()
+
+    cfg = TransformerConfig.wm_llama_small(vocab_size=9008, kv_cache_dtype="int8")
+    wm = Decoder(cfg)
+    rng = np.random.default_rng(0)
+
+    B, F, Vt, A = args.batch, args.frames, args.tokens_per_frame, 7
+    ctx_len = args.ctx_len
+    prompt_len = ctx_len + Vt + A  # ctx + frame_0 dyn + first action chunk
+    # training sequences carry frames 0..F (so the WM learns the repeat rule)
+    seqs = make_batch(rng, B * 4, ctx_len, F + 1, Vt, A, args.churn)
+
+    t0 = time.time()
+    params = wm.init(jax.random.key(0), jnp.zeros((1, 8), jnp.int32))
+    tx = optax.adamw(args.lr)
+    opt = tx.init(params)
+    print(f"[init] {time.time()-t0:.1f}s", flush=True)
+
+    @jax.jit
+    def step(params, opt, ids):
+        def loss_fn(p):
+            logits, _, _ = wm.apply(p, ids[:, :-1])
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            tgt = ids[:, 1:]
+            nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+            return nll[:, ctx_len - 1 :].mean()  # predict from frame_0 onward
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    t0 = time.time()
+    for it in range(args.train_steps):
+        sl = (it * B) % (B * 3)
+        ids = jnp.asarray(seqs[sl : sl + B], jnp.int32)
+        params, opt, loss = step(params, opt, ids)
+        if it % 50 == 0 or it == args.train_steps - 1:
+            print(f"[train {it}] loss {float(loss):.3f}", flush=True)
+    print(f"[train] {time.time()-t0:.1f}s", flush=True)
+
+    roll = WMRolloutConfig(
+        prompt_length=prompt_len,
+        response_length=F * (Vt + A),
+        num_frames=F,
+        interact_max_tokens=Vt,
+        temperature=1.0,
+        top_p=0.8,
+        do_sample=not args.greedy,
+        cache_segments=1,
+    )
+    eval_seqs = make_batch(rng, B, ctx_len, F + 1, Vt, A, args.churn)
+    prompt = jnp.asarray(eval_seqs[:, :prompt_len], jnp.int32)
+    # teacher-forced action chunks for every frame
+    actions = np.zeros((B, F + 1, A), np.int64)
+    for f in range(F + 1):
+        start = ctx_len + Vt + f * (Vt + A)
+        if start + A <= eval_seqs.shape[1]:
+            actions[:, f] = eval_seqs[:, start : start + A]
+        else:
+            actions[:, f] = rng.integers(ACT_OFF, ACT_OFF + 256, (B, A))
+    actions = jnp.asarray(actions, jnp.int32)
+
+    results = {}
+    for k in (0, args.spec_k):
+        rc = dataclasses.replace(roll, speculative_k=k)
+        fn = jax.jit(
+            lambda p, r, ids, acts, rc=rc: generate_sequences(wm, p, r, ids, acts, rc)
+        )
+        out = np.asarray(fn(params, jax.random.key(1), prompt, actions))  # compile
+        t0 = time.time()
+        reps = 3
+        for i in range(reps):
+            out = np.asarray(fn(params, jax.random.key(2 + i), prompt, actions))
+        dt = (time.time() - t0) / reps
+        # acceptance proxy: emitted dyn token == same position, previous frame
+        vis = out.reshape(B, F, Vt + A)[:, :, :Vt]
+        prev = np.concatenate(
+            [np.asarray(prompt[:, ctx_len : ctx_len + Vt])[:, None], vis[:, :-1]], axis=1
+        )
+        acc = float((vis == prev).mean())
+        results[f"spec_k={k}"] = {"time_s": round(dt, 3), "prev_frame_match": round(acc, 3)}
+        print(f"[spec_k={k}] {dt:.3f}s/rollout  prev-frame match {acc:.3f}", flush=True)
+
+    base = results[f"spec_k=0"]["time_s"]
+    spec = results[f"spec_k={args.spec_k}"]["time_s"]
+    print(json.dumps({
+        "metric": "spec_decode_speedup",
+        "value": round(base / spec, 3),
+        "unit": "x",
+        "extra": {**results, "churn": args.churn, "batch": B,
+                  "train_steps": args.train_steps, "greedy": args.greedy},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -523,6 +523,16 @@ class VLARFTGRPOTrainer:
                 with timer("wm_rollout", timing):
                     prompt = wm_inputs["input_ids"][:, : b.wm_roll_cfg.prompt_length]
                     wm_mb = cfg.world_model_rollout.rollout.get("micro_batch_size", 16) or 16
+                    if b.wm_roll_cfg.speculative_k > 0 and wm_mb > 16:
+                        # the axon TPU runtime crashes the full-size speculative
+                        # rollout at >=64 rows/call (DESIGN_NOTES round-2
+                        # backlog); 16-row chunks are the proven envelope
+                        print(
+                            f"[wm_rollout] speculative_k>0: clamping wm "
+                            f"micro_batch_size {wm_mb} -> 16 (TPU-runtime crash "
+                            f"envelope)"
+                        )
+                        wm_mb = 16
                     wm_size = wm_mb * self.n_devices
                     total_r = prompt.shape[0]
                     # the prompt head (ctx + dyn_0, everything before the
