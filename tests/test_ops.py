@@ -454,3 +454,97 @@ def test_decode_attention_shared_block_b():
     ref8 = decode_attention_shared(*args, **kw, block_b=1)
     out8 = decode_attention_shared(*args, **kw, block_b=4)
     np.testing.assert_allclose(np.asarray(out8), np.asarray(ref8), atol=1e-5)
+
+
+def test_decode_attention_shared_row_chunk():
+    """Wide grid blocks with a bounded inner row chunk (block_b > row_chunk)
+    match the per-row grid exactly, float and packed+int8."""
+    from vla_rft_tpu.models.transformer import pack_kv_heads
+    from vla_rft_tpu.ops.decode_attention import decode_attention_shared
+
+    rng = np.random.default_rng(41)
+    L, B, Bu, Hkv, G, Sp, Sr, D = 2, 8, 2, 2, 1, 48, 32, 32
+    pm = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1], jnp.int32)
+    sck = jnp.asarray(rng.normal(size=(L, Bu, Hkv, Sp, D)), jnp.float32) * 0.3
+    scv = jnp.asarray(rng.normal(size=(L, Bu, Hkv, Sp, D)), jnp.float32)
+    ck = jnp.asarray(rng.normal(size=(L, B, Hkv, Sr, D)), jnp.float32) * 0.3
+    cv = jnp.asarray(rng.normal(size=(L, B, Hkv, Sr, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hkv * G, D)), jnp.float32) * 0.3
+    own_lens = jnp.asarray([1, 5, 9, 13, 17, 21, 25, 32], jnp.int32)
+    ref = decode_attention_shared(
+        q, ck, cv, sck, scv, jnp.asarray(1), own_lens, pm, shared_valid=40,
+        interpret=True, block_b=1,
+    )
+    # block_b must not span prefix groups (4 rows per prefix here)
+    for bb, rc in ((4, 1), (4, 2)):
+        out = decode_attention_shared(
+            q, ck, cv, sck, scv, jnp.asarray(1), own_lens, pm, shared_valid=40,
+            interpret=True, block_b=bb, row_chunk=rc,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-6, err_msg=f"bb={bb} rc={rc}"
+        )
+    # single shared prefix: the whole batch may ride one block
+    pm0 = jnp.zeros((B,), jnp.int32)
+    ref_one = decode_attention_shared(
+        q, ck, cv, sck[:, :1], scv[:, :1], jnp.asarray(1), own_lens, pm0,
+        shared_valid=40, interpret=True, block_b=1,
+    )
+    for bb, rc in ((8, 2), (8, 4)):
+        out = decode_attention_shared(
+            q, ck, cv, sck[:, :1], scv[:, :1], jnp.asarray(1), own_lens, pm0,
+            shared_valid=40, interpret=True, block_b=bb, row_chunk=rc,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_one), atol=1e-6, err_msg=f"bb={bb} rc={rc}"
+        )
+
+    def q8(x):
+        s = np.maximum(np.abs(x).max(-1) / 127.0, 1e-8)
+        return np.clip(np.round(x / s[..., None]), -127, 127).astype(np.int8), s
+
+    ski, sks = q8(np.asarray(sck))
+    svi, svs = q8(np.asarray(scv))
+    oki, oks = q8(np.asarray(ck))
+    ovi, ovs = q8(np.asarray(cv))
+    args = (
+        q, pack_kv_heads(jnp.asarray(oki)), pack_kv_heads(jnp.asarray(ovi)),
+        pack_kv_heads(jnp.asarray(ski)), pack_kv_heads(jnp.asarray(svi)),
+        jnp.asarray(1), own_lens, pm,
+    )
+    kw = dict(
+        shared_valid=40,
+        scales=(jnp.asarray(oks, jnp.float32), jnp.asarray(ovs, jnp.float32)),
+        shared_scales=(jnp.asarray(sks, jnp.float32), jnp.asarray(svs, jnp.float32)),
+        interpret=True,
+    )
+    ref8 = decode_attention_shared(*args, **kw, block_b=1)
+    for bb, rc in ((4, 2), (4, 1)):
+        out8 = decode_attention_shared(*args, **kw, block_b=bb, row_chunk=rc)
+        np.testing.assert_allclose(
+            np.asarray(out8), np.asarray(ref8), atol=1e-5, err_msg=f"bb={bb} rc={rc}"
+        )
+
+
+def test_decode_attention_shared_sq_row_chunk():
+    """Sq>1 (action-chunk verify blocks) with block_b>row_chunk stays exact."""
+    from vla_rft_tpu.ops.decode_attention import decode_attention_shared
+
+    rng = np.random.default_rng(43)
+    L, B, Bu, Hkv, G, Sp, Sr, D, Sq = 2, 4, 2, 2, 1, 48, 32, 32, 4
+    pm = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    sck = jnp.asarray(rng.normal(size=(L, Bu, Hkv, Sp, D)), jnp.float32) * 0.3
+    scv = jnp.asarray(rng.normal(size=(L, Bu, Hkv, Sp, D)), jnp.float32)
+    ck = jnp.asarray(rng.normal(size=(L, B, Hkv, Sr, D)), jnp.float32) * 0.3
+    cv = jnp.asarray(rng.normal(size=(L, B, Hkv, Sr, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, Sq, Hkv * G, D)), jnp.float32) * 0.3
+    own_lens = jnp.asarray([4, 12, 20, 32], jnp.int32)
+    ref = decode_attention_shared(
+        q, ck, cv, sck, scv, jnp.asarray(1), own_lens, pm, shared_valid=40,
+        interpret=True, block_b=1,
+    )
+    out = decode_attention_shared(
+        q, ck, cv, sck, scv, jnp.asarray(1), own_lens, pm, shared_valid=40,
+        interpret=True, block_b=2, row_chunk=1,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -121,3 +121,48 @@ def test_decoder_ulysses_sp_matches_plain():
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(ref_logits), atol=3e-5, rtol=1e-4
     )
+
+
+def test_step_flops_families():
+    """The extended FLOPs bodies are the right order of magnitude (sanity
+    against hand calcs: VGG16@224 is the textbook ~15.5 GFLOPs × 2)."""
+    from vla_rft_tpu.models.transformer import TransformerConfig
+    from vla_rft_tpu.utils.flops_counter import (
+        conv_decoder_flops_per_frame,
+        dit_flops,
+        vgg16_flops_per_image,
+        vit_flops_per_image,
+        vla_rft_step_flops,
+    )
+
+    vgg = vgg16_flops_per_image(224)
+    assert 25e9 < vgg < 36e9, vgg  # 2 * ~15.5 GFLOPs of MACs
+
+    vit = vit_flops_per_image(224, 14, 1152, 27)
+    assert 0.15e12 < vit < 0.4e12, vit  # so400m ~0.21 TFLOPs fwd (256 tok)
+
+    detok = conv_decoder_flops_per_frame()
+    assert 2e11 < detok < 2e12, detok
+
+    d = dit_flops(8, 56, 7 * 896)
+    assert 1e8 < d < 1e10, d
+
+    total = vla_rft_step_flops(
+        num_sequences=64, num_uniques=4, wm_cfg=TransformerConfig.wm_llama(),
+        prompt_len=1095, response_len=568, num_frames=8,
+    )
+    # the RFT step is dominated by WM decode + detokenize + LPIPS; tens of
+    # TFLOPs per 64-seq step on one chip
+    assert 2e13 < total < 2e15, total
+
+
+def test_throughput_metrics_mfu():
+    from vla_rft_tpu.trainer.metric_utils import compute_throughput_metrics
+
+    out = compute_throughput_metrics(
+        {"step": 10.0, "wm_rollout": 5.0}, 64, 8, 1,
+        step_flops=985e12, peak_flops=197e12,
+    )
+    assert abs(out["perf/mfu"] - 0.5) < 1e-6
+    out2 = compute_throughput_metrics({"step": 10.0}, 64, 8, 1)
+    assert "perf/mfu" not in out2

@@ -192,6 +192,7 @@ def _shared_decode_kernel(
     packed: bool,
     sq: int,
     shared_valid: int,
+    row_chunk: int,
 ):
     """Split-cache decode: every query row attends to its own (short) cache
     segment PLUS a prefix segment shared by many batch rows.  The shared
@@ -220,122 +221,158 @@ def _shared_decode_kernel(
     per_row = 2 if packed else 1
     HL = Hb * per_row
     GS = q_ref.shape[2]  # G * Sq
-    N = Bb * HL * GS  # all the block's query rows, vectorized together
+    # rows are processed in chunks of `row_chunk`: the block-diagonal trick's
+    # temps are (N, R*S) with N = cb*HL*GS and R = cb*Hb — quadratic in the
+    # chunk — so big grid blocks (which amortize per-iteration overhead and
+    # shared-block DMA) are paired with a bounded inner chunk
+    cb = max(1, min(row_chunk, Bb))
+    while Bb % cb:
+        cb -= 1
 
-    # per-row own-cache valid lengths, broadcast to the N query rows
-    kv_vec = jnp.concatenate(
-        [jnp.full((HL * GS, 1), kv_lens_ref[b * Bb + i], jnp.int32) for i in range(Bb)]
-    )  # (N, 1)
+    for ci in range(Bb // cb):
+        rows = slice(ci * cb, (ci + 1) * cb)
+        N = cb * HL * GS  # this chunk's query rows, vectorized together
 
-    # ---- queries (N, Dc), packed pairs zero-padded into lane halves
-    q = q_ref[...].astype(jnp.float32).reshape(N, D) * scale
-    if packed:
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * D), 1)
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * D), 0)
-        odd = (row_i // GS) % 2
-        qfull = jnp.where((lane2 < D) == (odd == 0), jnp.concatenate([q, q], -1), 0.0)
-    else:
-        qfull = q
+        # per-row own-cache valid lengths, broadcast to the N query rows
+        kv_vec = jnp.concatenate(
+            [
+                jnp.full((HL * GS, 1), kv_lens_ref[b * Bb + ci * cb + i], jnp.int32)
+                for i in range(cb)
+            ]
+        )  # (N, 1)
 
-    if quantized:
-        qs = jnp.maximum(jnp.max(jnp.abs(qfull), axis=-1, keepdims=True), 1e-8) / 127.0
-        q_i8 = jnp.clip(jnp.round(qfull / qs), -127, 127).astype(jnp.int8)
-
-    def seg_scores(kk_ref, scale_ref, S, R, shared_seg):
-        """(N, S) scores for one cache segment via the block-diagonal trick.
-        R = number of flattened cache rows in the segment (Bb*Hb own,
-        Hb shared — the Bb rows SHARE the prefix block)."""
-        row0 = jax.lax.broadcasted_iota(jnp.int32, (N, R * S), 0) // (GS * per_row)
-        if shared_seg:
-            row0 = row0 % Hb  # every batch row maps onto the one shared block
-        seg_of = jax.lax.broadcasted_iota(jnp.int32, (N, R * S), 1) // S
-        own2 = row0 == seg_of
-        kk = kk_ref[...].reshape(R * S, Dc)
-        if quantized:
-            big = jax.lax.dot_general(
-                q_i8, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        # ---- queries (N, Dc), packed pairs zero-padded into lane halves
+        q = q_ref[rows].astype(jnp.float32).reshape(N, D) * scale
+        if packed:
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * D), 1)
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (N, 2 * D), 0)
+            odd = (row_i // GS) % 2
+            qfull = jnp.where(
+                (lane2 < D) == (odd == 0), jnp.concatenate([q, q], -1), 0.0
             )
-            s = (
-                jnp.sum(jnp.where(own2, big, 0).reshape(N, R, S), axis=1).astype(
-                    jnp.float32
-                )
-                * qs
-            )
-            # scales are per LOGICAL head: R*per_row rows
-            sk = jnp.repeat(
-                scale_ref[...].reshape(R * per_row, S).astype(jnp.float32), GS, axis=0
-            )
-            if shared_seg and Bb > 1:
-                sk = jnp.concatenate([sk] * Bb)
-            s = s * sk
         else:
-            big = jax.lax.dot_general(
-                qfull, kk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            qfull = q
+
+        if quantized:
+            qs = (
+                jnp.maximum(jnp.max(jnp.abs(qfull), axis=-1, keepdims=True), 1e-8)
+                / 127.0
+            )
+            q_i8 = jnp.clip(jnp.round(qfull / qs), -127, 127).astype(jnp.int8)
+
+        def seg_scores(kk, scale_arr, S, R, shared_seg, qs=None, q_i8=None, qfull=None):
+            """(N, S) scores for one cache segment via the block-diagonal
+            trick.  R = flattened cache rows in the segment (cb*Hb own, Hb
+            shared — the chunk's rows SHARE the prefix block)."""
+            row0 = jax.lax.broadcasted_iota(jnp.int32, (N, R * S), 0) // (GS * per_row)
+            if shared_seg:
+                row0 = row0 % Hb  # every batch row maps onto the one shared block
+            seg_of = jax.lax.broadcasted_iota(jnp.int32, (N, R * S), 1) // S
+            own2 = row0 == seg_of
+            if quantized:
+                big = jax.lax.dot_general(
+                    q_i8, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+                )
+                s = (
+                    jnp.sum(jnp.where(own2, big, 0).reshape(N, R, S), axis=1).astype(
+                        jnp.float32
+                    )
+                    * qs
+                )
+                # scales are per LOGICAL head: R*per_row rows
+                sk = jnp.repeat(scale_arr, GS, axis=0)
+                if shared_seg and cb > 1:
+                    sk = jnp.concatenate([sk] * cb)
+                s = s * sk
+            else:
+                big = jax.lax.dot_general(
+                    qfull, kk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s = jnp.sum(jnp.where(own2, big, 0.0).reshape(N, R, S), axis=1)
+            return s, own2
+
+        kw = dict(qs=qs, q_i8=q_i8, qfull=qfull) if quantized else dict(qfull=qfull)
+        s_sh, own2_sh = seg_scores(
+            sk_ref[0, 0].reshape(Hb * Sp, Dc),
+            qsk_ref[0, 0].astype(jnp.float32).reshape(HL, Sp) if quantized else None,
+            Sp, Hb, True, **kw,
+        )
+        s_ow, own2_ow = seg_scores(
+            k_ref[0, rows].reshape(cb * Hb * Sr, Dc),
+            qk_ref[0, rows].astype(jnp.float32).reshape(cb * HL, Sr)
+            if quantized
+            else None,
+            Sr, cb * Hb, False, **kw,
+        )
+
+        # masks: shared prefix fully valid up to shared_valid (static); own
+        # cache causal per query row — row n's query sits at own position
+        # kv_len - Sq + (n % Sq), so it sees own pos <= that
+        pos_sh = jax.lax.broadcasted_iota(jnp.int32, (N, Sp), 1)
+        s_sh = jnp.where(pos_sh < shared_valid, s_sh, NEG_INF)
+        pos_ow = jax.lax.broadcasted_iota(jnp.int32, (N, Sr), 1)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (N, Sr), 0) % sq
+        s_ow = jnp.where(pos_ow < kv_vec - (sq - 1) + qi, s_ow, NEG_INF)
+
+        m = jnp.maximum(
+            jnp.max(s_sh, axis=-1, keepdims=True), jnp.max(s_ow, axis=-1, keepdims=True)
+        )
+        p_sh = jnp.exp(s_sh - m)
+        p_ow = jnp.exp(s_ow - m)
+        denom = jnp.maximum(
+            jnp.sum(p_sh, -1, keepdims=True) + jnp.sum(p_ow, -1, keepdims=True), 1e-30
+        )
+
+        def seg_pv(p, vv, scale_arr, own2, S, R, shared_seg):
+            if quantized:
+                sv = jnp.repeat(scale_arr, GS, axis=0)
+                if shared_seg and cb > 1:
+                    sv = jnp.concatenate([sv] * cb)
+                pv = p * sv
+                ps = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-30) / 127.0
+                p_i8 = jnp.clip(jnp.round(pv / ps), -127, 127).astype(jnp.int8)
+                bd = jnp.where(own2, jnp.concatenate([p_i8] * R, axis=1), 0)
+                return (
+                    jax.lax.dot_general(
+                        bd, vv, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                    * ps
+                )
+            bd = jnp.where(own2, jnp.concatenate([p] * R, axis=1), 0.0)
+            return jax.lax.dot_general(
+                bd, vv.astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            s = jnp.sum(jnp.where(own2, big, 0.0).reshape(N, R, S), axis=1)
-        return s, own2
 
-    s_sh, own2_sh = seg_scores(sk_ref, qsk_ref if quantized else None, Sp, Hb, True)
-    s_ow, own2_ow = seg_scores(k_ref, qk_ref if quantized else None, Sr, Bb * Hb, False)
-
-    # masks: shared prefix fully valid up to shared_valid (static); own cache
-    # causal per query row — row n's query sits at own position
-    # kv_len - Sq + (n % Sq), so it sees own pos <= that
-    pos_sh = jax.lax.broadcasted_iota(jnp.int32, (N, Sp), 1)
-    s_sh = jnp.where(pos_sh < shared_valid, s_sh, NEG_INF)
-    pos_ow = jax.lax.broadcasted_iota(jnp.int32, (N, Sr), 1)
-    qi = jax.lax.broadcasted_iota(jnp.int32, (N, Sr), 0) % sq
-    s_ow = jnp.where(pos_ow < kv_vec - (sq - 1) + qi, s_ow, NEG_INF)
-
-    m = jnp.maximum(
-        jnp.max(s_sh, axis=-1, keepdims=True), jnp.max(s_ow, axis=-1, keepdims=True)
-    )
-    p_sh = jnp.exp(s_sh - m)
-    p_ow = jnp.exp(s_ow - m)
-    denom = jnp.maximum(
-        jnp.sum(p_sh, -1, keepdims=True) + jnp.sum(p_ow, -1, keepdims=True), 1e-30
-    )
-
-    def seg_pv(p, vv_ref, scale_ref, own2, S, R, shared_seg):
-        vv = vv_ref[...].reshape(R * S, Dc)
-        if quantized:
-            sv = jnp.repeat(
-                scale_ref[...].reshape(R * per_row, S).astype(jnp.float32), GS, axis=0
+        out = (
+            seg_pv(
+                p_sh,
+                sv_ref[0, 0].reshape(Hb * Sp, Dc),
+                qsv_ref[0, 0].astype(jnp.float32).reshape(HL, Sp) if quantized else None,
+                own2_sh, Sp, Hb, True,
             )
-            if shared_seg and Bb > 1:
-                sv = jnp.concatenate([sv] * Bb)
-            pv = p * sv
-            ps = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-30) / 127.0
-            p_i8 = jnp.clip(jnp.round(pv / ps), -127, 127).astype(jnp.int8)
-            bd = jnp.where(own2, jnp.concatenate([p_i8] * R, axis=1), 0)
-            return (
-                jax.lax.dot_general(
-                    bd, vv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-                ).astype(jnp.float32)
-                * ps
+            + seg_pv(
+                p_ow,
+                v_ref[0, rows].reshape(cb * Hb * Sr, Dc),
+                qv_ref[0, rows].astype(jnp.float32).reshape(cb * HL, Sr)
+                if quantized
+                else None,
+                own2_ow, Sr, cb * Hb, False,
             )
-        bd = jnp.where(own2, jnp.concatenate([p] * R, axis=1), 0.0)
-        return jax.lax.dot_general(
-            bd, vv.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        ) / denom
 
-    out = (
-        seg_pv(p_sh, sv_ref, qsv_ref if quantized else None, own2_sh, Sp, Hb, True)
-        + seg_pv(p_ow, v_ref, qv_ref if quantized else None, own2_ow, Sr, Bb * Hb, False)
-    ) / denom
-
-    if packed:  # combine pair lanes: even head [0,D), odd head [D,2D)
-        o = out.reshape(Bb * Hb, per_row * GS * Dc)
-        a = o[:, : GS * Dc].reshape(Bb * Hb * GS, Dc)
-        bqd = o[:, GS * Dc :].reshape(Bb * Hb * GS, Dc)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Bb * Hb * GS, Dc), 1)
-        o_ref[...] = (
-            jnp.where(lane < D, a, bqd).reshape(Bb, Hb, GS, Dc).astype(o_ref.dtype)
-        )
-    else:
-        o_ref[...] = out.reshape(Bb, Hb, GS, Dc).astype(o_ref.dtype)
+        if packed:  # combine pair lanes: even head [0,D), odd head [D,2D)
+            o = out.reshape(cb * Hb, per_row * GS * Dc)
+            a = o[:, : GS * Dc].reshape(cb * Hb * GS, Dc)
+            bqd = o[:, GS * Dc :].reshape(cb * Hb * GS, Dc)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (cb * Hb * GS, Dc), 1)
+            o_ref[rows] = (
+                jnp.where(lane < D, a, bqd).reshape(cb, Hb, GS, Dc).astype(o_ref.dtype)
+            )
+        else:
+            o_ref[rows] = out.reshape(cb, Hb, GS, Dc).astype(o_ref.dtype)
 
 
 def decode_attention_shared(
@@ -353,14 +390,19 @@ def decode_attention_shared(
     scale: Optional[float] = None,
     interpret: bool = False,
     block_b: int = 1,
+    row_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Returns (B, Sq, Hq, D). See `_shared_decode_kernel`.
 
-    block_b: batch rows vectorized per grid iteration.  REQUIRES every row
-    of a block to share the same prefix_map entry (callers group the n
-    rollouts of a sample contiguously, so any block_b dividing n is safe).
-    Amortizes the per-iteration serialized-op latency (~1.2us/row/layer
-    measured at B=128)."""
+    block_b: batch rows per grid iteration.  REQUIRES every row of a block
+    to share the same prefix_map entry (callers group the n rollouts of a
+    sample contiguously, so any block_b dividing n is safe).  Amortizes the
+    per-iteration serialized-op latency (~1.2us/row/layer measured at B=128).
+
+    row_chunk: rows VECTORIZED together inside an iteration (default: the
+    whole block, capped so the block-diagonal temps stay in VPU budget).
+    block_b > row_chunk trades wider blocks (fewer iterations, shared-block
+    DMA loaded once per block) for a static inner loop of proven-size math."""
     B, Sq, Hq, D = q.shape
     L, _, Hc, Sr, Dc = ck.shape
     Sp = sck.shape[3]
@@ -374,11 +416,12 @@ def decode_attention_shared(
     Bb = block_b
     while B % Bb != 0:
         Bb -= 1
-    # cap vectorized query rows (VPU intermediates are (N, Hb*S) f32)
-    while Bb > 1 and Bb * Hq * Sq > 256:
-        Bb //= 2
-    while B % Bb != 0:
-        Bb -= 1
+    # vectorized query rows per inner chunk (VPU temps are (N, Hb*S) f32)
+    cb = row_chunk if row_chunk is not None else Bb
+    while cb > 1 and cb * Hq * Sq > 256:
+        cb //= 2
+    while Bb % cb != 0:
+        cb -= 1
 
     # one head group (WM shapes fit VMEM comfortably: both segments < 5MB)
     hg = Hc
@@ -450,7 +493,7 @@ def decode_attention_shared(
     out = pl.pallas_call(
         functools.partial(
             _shared_decode_kernel, scale=float(scale), quantized=quantized,
-            packed=packed, sq=Sq, shared_valid=int(shared_valid),
+            packed=packed, sq=Sq, shared_valid=int(shared_valid), row_chunk=cb,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hc, G * Sq, Dc), q.dtype),

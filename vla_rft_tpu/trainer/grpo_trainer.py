@@ -646,10 +646,42 @@ class VLARFTGRPOTrainer:
         metrics.update(timing_metrics(timing))
         metrics.update(
             compute_throughput_metrics(
-                timing, B * n, b.wm_roll_cfg.num_frames, self.n_devices
+                timing, B * n, b.wm_roll_cfg.num_frames, self.n_devices,
+                step_flops=self._step_flops(int(B), int(n)),
+                peak_flops=self._peak_flops,
             )
         )
         return metrics
+
+    def _step_flops(self, B: int, n: int) -> float:
+        """Cached whole-step FLOPs estimate for perf/mfu."""
+        key = (B, n)
+        if getattr(self, "_step_flops_cache", None) is None:
+            self._step_flops_cache = {}
+        if key not in self._step_flops_cache:
+            from vla_rft_tpu.utils.flops_counter import (
+                device_peak_flops,
+                vla_rft_step_flops,
+            )
+
+            b = self.bundle
+            cfg = self.config
+            self._peak_flops = device_peak_flops(jax.devices()[0].device_kind)
+            self._step_flops_cache[key] = vla_rft_step_flops(
+                num_sequences=B * n,
+                num_uniques=B,
+                wm_cfg=b.wm_cfg,
+                prompt_len=b.wm_roll_cfg.prompt_length,
+                response_len=b.wm_roll_cfg.response_length,
+                num_frames=b.wm_roll_cfg.num_frames,
+                num_flow_steps=cfg.actor_rollout_ref.rollout.get("num_flow_steps", 10),
+                ppo_epochs=cfg.actor_rollout_ref.actor.ppo_epochs,
+                use_gt_branch=bool(
+                    cfg.world_model_rollout.rollout.w_gt_ac
+                    and cfg.processor.use_img_gt_ac
+                ),
+            )
+        return self._step_flops_cache[key]
 
     def _ppo_update(self, actor_batch: Dict[str, jnp.ndarray], rng: jax.Array):
         cfg = self.config

@@ -38,14 +38,23 @@ def compute_data_metrics(batch: Dict[str, Any], use_critic: bool = False) -> Dic
 
 
 def compute_throughput_metrics(
-    timing: Dict[str, float], num_sequences: int, num_frames: int, n_devices: int
+    timing: Dict[str, float],
+    num_sequences: int,
+    num_frames: int,
+    n_devices: int,
+    step_flops: float = 0.0,
+    peak_flops: float = 0.0,
 ) -> Dict[str, float]:
-    """perf/* family: sequences/s and predicted WM frames/s per chip."""
+    """perf/* family: sequences/s, predicted WM frames/s per chip, and —
+    when the trainer passes its step-FLOPs estimate — whole-step MFU
+    (the reference's perf/mfu/actor, ray_trainer compute_timing_metrics)."""
     step_t = timing.get("step", None)
     out: Dict[str, float] = {}
     if step_t and step_t > 0:
         out["perf/seqs_per_sec"] = num_sequences / step_t
         out["perf/frames_per_sec_per_chip"] = num_sequences * num_frames / step_t / n_devices
+        if step_flops and peak_flops:
+            out["perf/mfu"] = step_flops / step_t / n_devices / peak_flops
     if "wm_rollout" in timing and timing["wm_rollout"] > 0:
         out["perf/wm_frames_per_sec_per_chip"] = (
             num_sequences * num_frames / timing["wm_rollout"] / n_devices
