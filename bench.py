@@ -85,8 +85,15 @@ def main():
     fps_chip = frames / step_s / n_devices
 
     wm_t = float(metrics.get("timing_s/wm_rollout", 0.0))
-    # the gt-action branch doubles generated frames in the wm stage
-    wm_frames = frames * 2 if trainer.config.world_model_rollout.rollout.w_gt_ac else frames
+    # the gt-action branch adds generated frames in the wm stage: one rollout
+    # per row (reference behavior) or per unique sample (gt_branch_per_sample)
+    wm_roll = trainer.config.world_model_rollout.rollout
+    if not wm_roll.w_gt_ac:
+        wm_frames = frames
+    elif wm_roll.get("gt_branch_per_sample", True):
+        wm_frames = frames + frames // c.actor_rollout_ref.rollout.n
+    else:
+        wm_frames = frames * 2
     out = {
         "metric": "rft_frames_per_sec_per_chip",
         "value": round(fps_chip, 2),

@@ -61,6 +61,7 @@ def main():
     ap.add_argument("--tokens-per-frame", type=int, default=64)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--greedy", action="store_true")
+    ap.add_argument("--params-cache", default="", help="npz path: load trained params if present, else train+save")
     args = ap.parse_args()
 
     cfg = TransformerConfig.wm_llama_small(vocab_size=9008, kv_cache_dtype="int8")
@@ -92,14 +93,30 @@ def main():
         upd, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, upd), opt, loss
 
-    t0 = time.time()
-    for it in range(args.train_steps):
-        sl = (it * B) % (B * 3)
-        ids = jnp.asarray(seqs[sl : sl + B], jnp.int32)
-        params, opt, loss = step(params, opt, ids)
-        if it % 50 == 0 or it == args.train_steps - 1:
-            print(f"[train {it}] loss {float(loss):.3f}", flush=True)
-    print(f"[train] {time.time()-t0:.1f}s", flush=True)
+    import os
+
+    flat_cache = args.params_cache
+    if flat_cache and os.path.exists(flat_cache):
+        data = np.load(flat_cache)
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        params = jax.tree_util.tree_unflatten(
+            treedef,
+            [jnp.asarray(data[f"p{i}"], l.dtype) for i, l in enumerate(leaves)],
+        )
+        print(f"[params] loaded {flat_cache}", flush=True)
+    else:
+        t0 = time.time()
+        for it in range(args.train_steps):
+            sl = (it * B) % (B * 3)
+            ids = jnp.asarray(seqs[sl : sl + B], jnp.int32)
+            params, opt, loss = step(params, opt, ids)
+            if it % 50 == 0 or it == args.train_steps - 1:
+                print(f"[train {it}] loss {float(loss):.3f}", flush=True)
+        print(f"[train] {time.time()-t0:.1f}s", flush=True)
+        if flat_cache:
+            leaves = jax.tree_util.tree_leaves(params)
+            np.savez(flat_cache, **{f"p{i}": np.asarray(l, np.float32) for i, l in enumerate(leaves)})
+            print(f"[params] saved {flat_cache}", flush=True)
 
     roll = WMRolloutConfig(
         prompt_length=prompt_len,
@@ -124,6 +141,7 @@ def main():
     actions = jnp.asarray(actions, jnp.int32)
 
     results = {}
+    outs = {}
     for k in (0, args.spec_k):
         rc = dataclasses.replace(roll, speculative_k=k)
         fn = jax.jit(
@@ -141,8 +159,15 @@ def main():
             [np.asarray(prompt[:, ctx_len : ctx_len + Vt])[:, None], vis[:, :-1]], axis=1
         )
         acc = float((vis == prev).mean())
+        outs[k] = np.asarray(
+            fn(params, jax.random.key(99), prompt, actions)
+        )  # fixed key for cross-mode comparison
         results[f"spec_k={k}"] = {"time_s": round(dt, 3), "prev_frame_match": round(acc, 3)}
         print(f"[spec_k={k}] {dt:.3f}s/rollout  prev-frame match {acc:.3f}", flush=True)
+    eq = float((outs[0] == outs[args.spec_k]).mean())
+    print(f"[equality] spec vs plain tokens equal: {eq:.4f}"
+          + ("  (greedy MUST be 1.0)" if args.greedy else "  (sampled: streams differ)"),
+          flush=True)
 
     base = results[f"spec_k=0"]["time_s"]
     spec = results[f"spec_k={args.spec_k}"]["time_s"]

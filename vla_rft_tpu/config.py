@@ -255,6 +255,15 @@ def vla_rft_default_config() -> Config:
                     # divide rollout.n; amortizes per-iteration latency —
                     # measured B=128: bb=1 144, bb=2 164, bb=4 156, bb=8 131 f/s)
                     "decode_block_b": 2,
+                    # run the gt-action branch once per unique SAMPLE instead
+                    # of once per rollout: the branch depends only on
+                    # per-sample inputs (shared prompt head + gt actions), and
+                    # a shared gt realization cancels exactly in the
+                    # group-relative GRPO advantage while the reference's n
+                    # duplicates (vllm_rollout.py:216-230) only add
+                    # independent reward noise.  ~halves wm_rollout rows and
+                    # gt detokenize frames.  False = reference behavior.
+                    "gt_branch_per_sample": True,
                     # speculative decoding draft length (0=off): copy-prev-
                     # frame drafts + exact rejection sampling — distribution
                     # preserving; pays off with REAL WM weights (repetitive

@@ -294,8 +294,25 @@ class VLARFTGRPOTrainer:
                 ctx_feats=ctx_feats, ctx_map=ctx_map,
             )
 
+        @jax.jit
+        def reward_feats_gtu_fn(
+            tok_params, lpips_params, responses, ctx_feats, ctx_map,
+            gt_responses_u, gt_map, gt_feat_idx,
+        ):
+            # gt_branch_per_sample: gt_responses_u holds one gt rollout per
+            # UNIQUE sample in this chunk; gt_map gathers the decoded frames
+            # per row, gt_feat_idx maps gt rows to their ctx features
+            return msp_reward(
+                b.tokenizer, tok_params, b.lpips, lpips_params, b.proc_cfg,
+                b.reward_cfg, responses, None,
+                gt_responses=gt_responses_u,
+                ctx_feats=ctx_feats, ctx_map=ctx_map,
+                gt_map=gt_map, gt_feat_idx=gt_feat_idx,
+            )
+
         self._ctx_feats = ctx_feats_fn
         self._reward_feats = reward_feats_fn
+        self._reward_feats_gtu = reward_feats_gtu_fn
 
         uniform_std = cfg.algorithm.uniform_std
         chunk_dims = b.expert_cfg.num_actions_chunk * b.expert_cfg.action_dim
@@ -557,7 +574,31 @@ class VLARFTGRPOTrainer:
                             )
                         return jnp.concatenate(outs, axis=0)
 
-                    if use_gt_ac:
+                    gt_per_sample = use_gt_ac and bool(
+                        cfg.world_model_rollout.rollout.get("gt_branch_per_sample", True)
+                    )
+                    if gt_per_sample:
+                        # the gt branch is conditioned only on per-SAMPLE
+                        # inputs (shared prompt head + gt action tokens), so
+                        # one rollout per unique sample suffices: its reward
+                        # contribution is a shared level within each GRPO
+                        # group and cancels exactly in the group-relative
+                        # advantage, while the n duplicate rollouts the
+                        # reference runs (vllm_rollout.py:216-230) only add
+                        # independent sampling noise that does NOT cancel.
+                        # ~halves wm_rollout rows and gt detokenize frames.
+                        responses = run_wm(
+                            r_wm, pm_branch, tails, wm_inputs["action_ids"]
+                        )
+                        B_u = total_r // n
+                        gt_act_u = wm_inputs["gt_action_ids"][::n]  # (B_u, T, A)
+                        gt_responses = run_wm(
+                            jax.random.fold_in(r_wm, 10_007),
+                            np.arange(B_u),
+                            gt_act_u[:, 0],  # pure-gt action tail (frame-0 chunk)
+                            gt_act_u,
+                        )  # (B_u, response_length) — UNIQUE rows
+                    elif use_gt_ac:
                         # policy + gt branches share prompts; one concatenated
                         # batch amortizes the per-step weight reads (decode is
                         # HBM-bound) when micro_batch_size covers both
@@ -594,6 +635,23 @@ class VLARFTGRPOTrainer:
                     for i in range(0, total_r, rw_size):
                         sl = slice(i, i + rw_size)
                         cmap = jnp.asarray(pm_branch[sl], jnp.int32)
+                        if gt_per_sample:
+                            # unique gt rows for this chunk only: detokenize
+                            # each sample's gt rollout once, gather per row
+                            g_uniq, g_local = np.unique(
+                                pm_branch[sl], return_inverse=True
+                            )
+                            r, r_metrics = self._reward_feats_gtu(
+                                self.params["tokenizer"], self.params["lpips"],
+                                responses[sl], ctx_feats_u, cmap,
+                                gt_responses[g_uniq],
+                                jnp.asarray(g_local, jnp.int32),
+                                jnp.asarray(g_uniq, jnp.int32),
+                            )
+                            rew_chunks.append(r)
+                            for k, v in r_metrics.items():
+                                rm_acc.setdefault(k, []).append(v)
+                            continue
                         if use_gt_ac:
                             rf = jnp.zeros((1,))
                             gtr = gt_responses[sl]

@@ -80,9 +80,11 @@ def msp_reward(
     responses: jnp.ndarray,  # (B, response_length) WM rollout output
     ctx_tokens: jnp.ndarray,  # (B, 1, 1024) offset ctx tokens
     real_frames: Optional[jnp.ndarray] = None,  # (B, F, H, W, C) in [0,1]
-    gt_responses: Optional[jnp.ndarray] = None,  # (B, response_length) gt branch
+    gt_responses: Optional[jnp.ndarray] = None,  # (B|U, response_length) gt branch
     ctx_feats=None,  # precomputed UNIQUE decoder feature pyramid [(B_u, h, w, c)]
     ctx_map: Optional[jnp.ndarray] = None,  # (B,) int32 row -> unique index
+    gt_map: Optional[jnp.ndarray] = None,  # (B,) row -> gt_responses row (dedup)
+    gt_feat_idx: Optional[jnp.ndarray] = None,  # (U,) gt row -> ctx_feats row
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Returns (reward_tensor (B, response_length), metrics).
 
@@ -94,39 +96,53 @@ def msp_reward(
     ~20% of detokenize) is skipped: features were computed once per unique
     sample (trainer step) and are gathered per row here — both branches
     share them (the reference re-runs the full decode per branch per
-    micro-batch, fsdp_workers.py:1791-1839)."""
+    micro-batch, fsdp_workers.py:1791-1839).
+
+    When `gt_map` is given, `gt_responses` carries only the UNIQUE gt-branch
+    rollouts (one per sample, gt_branch_per_sample) and row i of the batch
+    compares against decoded gt row gt_map[i] — the gt decode runs once per
+    sample instead of once per rollout."""
     F = reward_cfg.num_frames
     vis = split_response_tokens(proc_cfg, responses, F)  # (B, F, 64)
 
-    def detok(v):
-        """FSQ-decode dynamics tokens (any batch size that is a multiple of
-        B row-wise: ctx features / ctx tokens tile to match)."""
-        reps = v.shape[0] // vis.shape[0]
+    def detok(v, fmap):
+        """FSQ-decode dynamics tokens. `fmap` (N,) maps each decode row to
+        its ctx feature / ctx token row."""
         if ctx_feats is not None:
-            feats = [
-                jnp.concatenate([jnp.take(f, ctx_map, axis=0)] * reps, axis=0)
-                for f in ctx_feats
-            ]
+            feats = [jnp.take(f, fmap, axis=0) for f in ctx_feats]
             return tokenizer.apply(
                 tok_params, v, feats, method=tokenizer.detokenize_dyn
             )
         ctx_raw = ctx_tokens - proc_cfg.visual_token_num  # un-offset for FSQ
-        ctx_r = jnp.concatenate([ctx_raw] * reps, axis=0)
+        ctx_r = jnp.take(ctx_raw, fmap, axis=0)
         # [:, 1:] drops the decoded ctx frame
         return tokenizer.apply(
             tok_params, ctx_r, v, method=tokenizer.detokenize
         )[:, 1:]
 
+    B_ = vis.shape[0]
+    row_map = (
+        ctx_map if ctx_map is not None else jnp.arange(B_, dtype=jnp.int32)
+    )
     if gt_responses is not None:
-        # one decoder call for both branches: same FLOPs, 2x batch (the
-        # conv decoder runs at higher MXU utilization; the reference
+        # one decoder call for both branches: same FLOPs, one bigger batch
+        # (the conv decoder runs at higher MXU utilization; the reference
         # detokenizes each branch separately, fsdp_workers.py:1791)
         gt_vis = split_response_tokens(proc_cfg, gt_responses, F)
-        both = jnp.clip(detok(jnp.concatenate([vis, gt_vis], axis=0)), 0.0, 1.0)
-        B_ = vis.shape[0]
+        gfm = gt_feat_idx if gt_feat_idx is not None else row_map
+        both = jnp.clip(
+            detok(
+                jnp.concatenate([vis, gt_vis], axis=0),
+                jnp.concatenate([row_map, gfm], axis=0),
+            ),
+            0.0,
+            1.0,
+        )
         pred, real = both[:B_], both[B_:]
+        if gt_map is not None:
+            real = jnp.take(real, gt_map, axis=0)
     else:
-        pred = jnp.clip(detok(vis), 0.0, 1.0)
+        pred = jnp.clip(detok(vis, row_map), 0.0, 1.0)
         assert real_frames is not None
         real = real_frames
 
