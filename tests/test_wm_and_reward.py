@@ -268,6 +268,50 @@ def test_msp_reward_unique_gt_matches_expanded():
         np.testing.assert_allclose(float(mout[k]), float(mref[k]), atol=1e-6)
 
 
+def test_msp_reward_predecoded_gt_frames_matches():
+    """The trainer's detok-once path (decode unique gt rollouts up front,
+    pass gathered pixel frames as real_frames) must equal decoding the gt
+    responses inside msp_reward."""
+    from vla_rft_tpu.workers.reward import detokenize_response_frames
+
+    proc = ProcessorConfig(visual_token_num=4375, tokens_per_frame=16, action_dim=2)
+    rcfg = RewardConfig(num_frames=2)
+    tok = CompressiveVQModelFSQ(
+        block_out_channels=(8, 16), layers_per_block=1, latent_channels=4,
+        norm_num_groups=4, resolution=32, ctx_res=(16, 16), dyn_res=(4, 4),
+        max_att_resolution=16,
+    )
+    rng = np.random.default_rng(6)
+    px = jnp.asarray(rng.uniform(size=(2, 3, 32, 32, 3)), jnp.float32)
+    tok_params = tok.init(jax.random.key(0), px)
+    lp = LPIPS()
+    lp_params = lp.init(jax.random.key(1), px[:, 0] * 2 - 1, px[:, 0] * 2 - 1)
+
+    B, F, U = 4, 2, 2
+    resp = jnp.asarray(rng.integers(0, 9000, (B, F * 18)), jnp.int32)
+    gt_u = jnp.asarray(rng.integers(0, 9000, (U, F * 18)), jnp.int32)
+    ctx_u = jnp.asarray(rng.integers(4375, 8750, (U, 1, 256)), jnp.int32)
+    ctx_map = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    _, feats = tok.apply(tok_params, ctx_u - 4375, method=tok.ctx_decode)
+
+    ref, mref = msp_reward(
+        tok, tok_params, lp, lp_params, proc, rcfg, resp, None,
+        gt_responses=gt_u, ctx_feats=feats, ctx_map=ctx_map,
+        gt_map=ctx_map, gt_feat_idx=jnp.arange(U, dtype=jnp.int32),
+    )
+    gt_frames = detokenize_response_frames(
+        tok, tok_params, proc, F, gt_u, feats, jnp.arange(U, dtype=jnp.int32)
+    )
+    out, mout = msp_reward(
+        tok, tok_params, lp, lp_params, proc, rcfg, resp, None,
+        real_frames=jnp.take(gt_frames, ctx_map, axis=0),
+        ctx_feats=feats, ctx_map=ctx_map,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=2e-6)
+    for k in mref:
+        np.testing.assert_allclose(float(mout[k]), float(mref[k]), atol=2e-6)
+
+
 def test_ac_reward():
     gt = jnp.zeros((2, 3, 2))
     pred = jnp.ones((2, 3, 2)) * 0.5

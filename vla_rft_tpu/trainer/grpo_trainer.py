@@ -64,7 +64,11 @@ from vla_rft_tpu.utils.timers import timer, timing_metrics
 from vla_rft_tpu.utils.tracking import Tracking, reduce_metrics
 from vla_rft_tpu.workers import flow_actor, wm_rollout
 from vla_rft_tpu.workers.processor import add_context_frame, ctx_msp_process, discretize_actions
-from vla_rft_tpu.workers.reward import msp_reward, ac_reward
+from vla_rft_tpu.workers.reward import (
+    ac_reward,
+    detokenize_response_frames,
+    msp_reward,
+)
 
 
 class VLARFTGRPOTrainer:
@@ -295,24 +299,20 @@ class VLARFTGRPOTrainer:
             )
 
         @jax.jit
-        def reward_feats_gtu_fn(
-            tok_params, lpips_params, responses, ctx_feats, ctx_map,
-            gt_responses_u, gt_map, gt_feat_idx,
-        ):
-            # gt_branch_per_sample: gt_responses_u holds one gt rollout per
-            # UNIQUE sample in this chunk; gt_map gathers the decoded frames
-            # per row, gt_feat_idx maps gt rows to their ctx features
-            return msp_reward(
-                b.tokenizer, tok_params, b.lpips, lpips_params, b.proc_cfg,
-                b.reward_cfg, responses, None,
-                gt_responses=gt_responses_u,
-                ctx_feats=ctx_feats, ctx_map=ctx_map,
-                gt_map=gt_map, gt_feat_idx=gt_feat_idx,
+        def detok_gtu_fn(tok_params, gt_responses_u, ctx_feats):
+            # gt_branch_per_sample: decode the B_u unique gt rollouts to
+            # pixels ONCE per step (one big decoder batch); the per-chunk
+            # reward gathers rows instead of re-decoding gt frames
+            B_u = gt_responses_u.shape[0]
+            return detokenize_response_frames(
+                b.tokenizer, tok_params, b.proc_cfg, b.reward_cfg.num_frames,
+                gt_responses_u, ctx_feats,
+                jnp.arange(B_u, dtype=jnp.int32),
             )
 
         self._ctx_feats = ctx_feats_fn
         self._reward_feats = reward_feats_fn
-        self._reward_feats_gtu = reward_feats_gtu_fn
+        self._detok_gtu = detok_gtu_fn
 
         uniform_std = cfg.algorithm.uniform_std
         chunk_dims = b.expert_cfg.num_actions_chunk * b.expert_cfg.action_dim
@@ -587,17 +587,21 @@ class VLARFTGRPOTrainer:
                         # reference runs (vllm_rollout.py:216-230) only add
                         # independent sampling noise that does NOT cancel.
                         # ~halves wm_rollout rows and gt detokenize frames.
-                        responses = run_wm(
-                            r_wm, pm_branch, tails, wm_inputs["action_ids"]
-                        )
+                        # The B_u gt rows ride IN the same chunked call as
+                        # the policy rows: decode is HBM-bound on the weight
+                        # stream, so a separate tiny gt call would pay the
+                        # full per-token weight reads again for 4 rows.
                         B_u = total_r // n
                         gt_act_u = wm_inputs["gt_action_ids"][::n]  # (B_u, T, A)
-                        gt_responses = run_wm(
-                            jax.random.fold_in(r_wm, 10_007),
-                            np.arange(B_u),
-                            gt_act_u[:, 0],  # pure-gt action tail (frame-0 chunk)
-                            gt_act_u,
-                        )  # (B_u, response_length) — UNIQUE rows
+                        both = run_wm(
+                            r_wm,
+                            np.concatenate([pm_branch, np.arange(B_u)]),
+                            jnp.concatenate([tails, gt_act_u[:, 0]], axis=0),
+                            jnp.concatenate(
+                                [wm_inputs["action_ids"], gt_act_u], axis=0
+                            ),
+                        )
+                        responses, gt_responses = both[:total_r], both[total_r:]
                     elif use_gt_ac:
                         # policy + gt branches share prompts; one concatenated
                         # batch amortizes the per-step weight reads (decode is
@@ -632,21 +636,21 @@ class VLARFTGRPOTrainer:
                         self.params["tokenizer"], wm_inputs["ctx_tokens"][::n]
                     )
                     rew_chunks, rm_acc = [], {}
+                    gt_frames_u = (
+                        self._detok_gtu(
+                            self.params["tokenizer"], gt_responses, ctx_feats_u
+                        )
+                        if gt_per_sample
+                        else None
+                    )  # (B_u, F, H, W, C) decoded once, gathered per chunk
                     for i in range(0, total_r, rw_size):
                         sl = slice(i, i + rw_size)
                         cmap = jnp.asarray(pm_branch[sl], jnp.int32)
                         if gt_per_sample:
-                            # unique gt rows for this chunk only: detokenize
-                            # each sample's gt rollout once, gather per row
-                            g_uniq, g_local = np.unique(
-                                pm_branch[sl], return_inverse=True
-                            )
-                            r, r_metrics = self._reward_feats_gtu(
+                            r, r_metrics = self._reward_feats(
                                 self.params["tokenizer"], self.params["lpips"],
                                 responses[sl], ctx_feats_u, cmap,
-                                gt_responses[g_uniq],
-                                jnp.asarray(g_local, jnp.int32),
-                                jnp.asarray(g_uniq, jnp.int32),
+                                jnp.take(gt_frames_u, cmap, axis=0), None,
                             )
                             rew_chunks.append(r)
                             for k, v in r_metrics.items():

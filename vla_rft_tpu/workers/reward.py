@@ -70,6 +70,25 @@ def aggregate_msp(loss: jnp.ndarray, cfg: RewardConfig) -> jnp.ndarray:
     raise NotImplementedError(cfg.msp_reward_aggregate)
 
 
+def detokenize_response_frames(
+    tokenizer: CompressiveVQModelFSQ,
+    tok_params,
+    proc_cfg: ProcessorConfig,
+    num_frames: int,
+    responses: jnp.ndarray,  # (N, response_length)
+    ctx_feats,  # unique ctx decoder feature pyramid [(B_u, h, w, c)]
+    feat_map: jnp.ndarray,  # (N,) row -> ctx_feats index
+) -> jnp.ndarray:
+    """FSQ-decode a batch of WM responses to pixel frames (N, F, H, W, C)
+    in [0,1].  Used to decode the unique gt-branch rollouts ONCE per step;
+    the per-chunk reward then gathers rows from the result instead of
+    re-decoding the gt frames in every reward micro-batch."""
+    vis = split_response_tokens(proc_cfg, responses, num_frames)
+    feats = [jnp.take(f, feat_map, axis=0) for f in ctx_feats]
+    out = tokenizer.apply(tok_params, vis, feats, method=tokenizer.detokenize_dyn)
+    return jnp.clip(out, 0.0, 1.0)
+
+
 def msp_reward(
     tokenizer: CompressiveVQModelFSQ,
     tok_params,
