@@ -742,6 +742,9 @@ class VLARFTGRPOTrainer:
                     cfg.world_model_rollout.rollout.w_gt_ac
                     and cfg.processor.use_img_gt_ac
                 ),
+                gt_branch_per_sample=bool(
+                    cfg.world_model_rollout.rollout.get("gt_branch_per_sample", True)
+                ),
             )
         return self._step_flops_cache[key]
 

@@ -175,13 +175,20 @@ def vla_rft_step_flops(
     num_flow_steps: int = 10,
     ppo_epochs: int = 1,
     use_gt_branch: bool = True,
+    gt_branch_per_sample: bool = False,
     vlm_seq: int = 96,
 ) -> float:
     """Whole-step forward+backward FLOPs estimate for perf/mfu (same spirit
     as verl's estimate but covering every model family in the VLA step)."""
     fc = FlopsCounter(wm_cfg)
     # WM: prefill (uniques) + decode over response positions + gt branch
-    rows = num_sequences * (2 if use_gt_branch else 1)
+    # (one gt rollout per sample under gt_branch_per_sample, else per row)
+    if not use_gt_branch:
+        rows = num_sequences
+    elif gt_branch_per_sample:
+        rows = num_sequences + num_uniques
+    else:
+        rows = num_sequences * 2
     wm = num_uniques * fc.flops_per_token(prompt_len) * prompt_len
     # decode: each generated token attends to its prefix
     avg_len = prompt_len + response_len / 2
