@@ -10,7 +10,17 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_enable_fast_math" not in flags:
+    # XLA:CPU fast-math miscompiles expf at huge-magnitude inputs for some
+    # (batch, seqlen) vectorization shapes — deterministic all-NaN logits
+    # in jitted programs while eager mode is clean (see ops/attention.py
+    # _attention_xla).  The kernels now use bounded exp inputs, but the
+    # flag off is the backstop for any remaining fast-math-unsafe op.
+    # CPU-only: TPU compiles (and the axon remote-compile cache keys)
+    # never see this flag because tests pin jax_platforms=cpu.
+    flags = (flags + " --xla_cpu_enable_fast_math=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

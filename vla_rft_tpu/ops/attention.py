@@ -80,8 +80,18 @@ def _attention_xla(
             q_pos = q_pos + q_offset[:, None]
         cm = q_pos[:, :, None] >= kv_pos[:, None, :]  # (B, Sq, Sk)
         mask = mask & cm[:, None, None, :, :]
-    s = jnp.where(mask, s, NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
+    # Masked softmax with BOUNDED arithmetic everywhere: the classic
+    # `softmax(where(mask, s, -1e30))` is mathematically fine but XLA:CPU's
+    # fast-math expf miscompiles huge-magnitude inputs at some (B, Sk)
+    # vectorization shapes (range-reduction int overflow -> NaN poisoning
+    # whole rows; reproduced at B=16, Sk in {512, 768} while eager mode is
+    # clean), and -inf fill values are equally UB under fast-math.  So:
+    # max over valid lanes only (finite initial), exp input clipped to
+    # [-80, 0] (exp(-80) == 0 in f32 softmax terms), masked lanes zeroed by
+    # multiplication.
+    m = jnp.max(s, axis=-1, keepdims=True, where=mask, initial=-1e4)
+    e = jnp.exp(jnp.clip(s - m, -80.0, 0.0)) * mask.astype(jnp.float32)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", p, v.astype(jnp.float32))
     return out.reshape(B, Sq, Hq, D).astype(q.dtype)
 
@@ -129,8 +139,13 @@ def _fwd_kernel(
             mask = mask & (q_pos >= kv_pos)
         s = jnp.where(mask, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-        p = jnp.exp(s - m_new[:, None])
-        alpha = jnp.exp(m - m_new)
+        # bounded exp: masked lanes would feed exp() inputs of ~-1e30, which
+        # XLA:CPU fast-math expf miscompiles to NaN at some vector shapes
+        # (and interpret-mode runs these kernels through XLA:CPU).  Clip the
+        # input (exp(-80) == 0 in f32 softmax terms) and zero masked lanes
+        # exactly; fully-masked rows then flow l == 0 -> output 0.
+        p = jnp.where(mask, jnp.exp(jnp.clip(s - m_new[:, None], -80.0, 0.0)), 0.0)
+        alpha = jnp.exp(jnp.clip(m - m_new, -80.0, 0.0))
         l_new = l * alpha + jnp.sum(p, axis=-1)
         acc_new = acc * alpha[:, None] + jax.lax.dot_general(
             p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -196,7 +211,9 @@ def _dq_kernel(
         if causal:
             mask = mask & (q_pos >= kv_pos)
         s = jnp.where(mask, s, NEG_INF)
-        p = jnp.exp(s - lse)  # (bq, bk)
+        # bounded exp (see _fwd_kernel): s - lse <= 0 on valid lanes; masked
+        # lanes and fully-masked rows (lse == NEG_INF sentinel) select 0
+        p = jnp.where(mask, jnp.exp(jnp.clip(s - lse, -80.0, 0.0)), 0.0)
         dp = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -271,7 +288,7 @@ def _dkv_kernel(
             if causal:
                 mask = mask & (q_pos >= kv_pos)
             s = jnp.where(mask, s, NEG_INF)
-            p = jnp.exp(s - lse)  # (bq, bk)
+            p = jnp.where(mask, jnp.exp(jnp.clip(s - lse, -80.0, 0.0)), 0.0)
             dv_new = dv + jax.lax.dot_general(
                 p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )

@@ -140,7 +140,10 @@ def _decode_one(
     mask = (pos < kv_len) & (pos >= kv_start)
     s = jnp.where(mask, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)  # (N, S)
+    # bounded exp: clip keeps masked lanes (~-1e30) from feeding expf UB
+    # under fast-math backends (interpret mode runs on XLA:CPU); the where
+    # zeroes them exactly (exp(-80) == 0 in f32 softmax terms)
+    p = jnp.where(mask, jnp.exp(jnp.clip(s - m, -80.0, 0.0)), 0.0)  # (N, S)
     denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
 
     if quantized:
@@ -318,8 +321,13 @@ def _shared_decode_kernel(
         m = jnp.maximum(
             jnp.max(s_sh, axis=-1, keepdims=True), jnp.max(s_ow, axis=-1, keepdims=True)
         )
-        p_sh = jnp.exp(s_sh - m)
-        p_ow = jnp.exp(s_ow - m)
+        # bounded exp (see decode_attention): mask via select, not -1e30
+        p_sh = jnp.where(
+            pos_sh < shared_valid, jnp.exp(jnp.clip(s_sh - m, -80.0, 0.0)), 0.0
+        )
+        p_ow = jnp.where(
+            pos_ow < kv_vec - (sq - 1) + qi, jnp.exp(jnp.clip(s_ow - m, -80.0, 0.0)), 0.0
+        )
         denom = jnp.maximum(
             jnp.sum(p_sh, -1, keepdims=True) + jnp.sum(p_ow, -1, keepdims=True), 1e-30
         )
