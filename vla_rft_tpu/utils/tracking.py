@@ -67,6 +67,57 @@ class _WandbBackend:
         self._run.finish()
 
 
+class _MlflowBackend:
+    """tracking.py:44-57 — project maps to the MLflow experiment,
+    experiment to the run; config flattened into params."""
+
+    def __init__(self, project: str, name: str, config: Optional[dict]):
+        import mlflow
+
+        uri = os.environ.get("MLFLOW_TRACKING_URI")
+        if uri:
+            mlflow.set_tracking_uri(uri)
+        exp = mlflow.set_experiment(project)
+        mlflow.start_run(experiment_id=exp.experiment_id, run_name=name)
+        if config:
+            mlflow.log_params(_flatten(config))
+        self._mlflow = mlflow
+
+    def log(self, data, step):
+        self._mlflow.log_metrics(
+            {k.replace("/", "_"): float(v) for k, v in data.items()
+             if _is_number(v)},
+            step=step,
+        )
+
+    def finish(self):
+        self._mlflow.end_run()
+
+
+class _SwanlabBackend:
+    """tracking.py:59-76 — env-driven login/log-dir/mode."""
+
+    def __init__(self, project: str, name: str, config: Optional[dict]):
+        import swanlab
+
+        key = os.environ.get("SWANLAB_API_KEY")
+        if key:
+            swanlab.login(key)
+        swanlab.init(
+            project=project, experiment_name=name,
+            config={"FRAMEWORK": "vla_rft_tpu", **(config or {})},
+            logdir=os.environ.get("SWANLAB_LOG_DIR", "swanlog"),
+            mode=os.environ.get("SWANLAB_MODE", "cloud"),
+        )
+        self._swanlab = swanlab
+
+    def log(self, data, step):
+        self._swanlab.log(data, step=step)
+
+    def finish(self):
+        self._swanlab.finish()
+
+
 class Tracking:
     def __init__(
         self,
@@ -92,6 +143,10 @@ class Tracking:
                     self.backends.append(_TensorboardBackend(tb_dir))
                 elif b == "wandb":
                     self.backends.append(_WandbBackend(project_name, experiment_name, config))
+                elif b == "mlflow":
+                    self.backends.append(_MlflowBackend(project_name, experiment_name, config))
+                elif b == "swanlab":
+                    self.backends.append(_SwanlabBackend(project_name, experiment_name, config))
                 else:
                     print(f"[tracking] unknown backend {b!r}, skipping")
             except Exception as e:  # missing dep / no network — degrade gracefully
@@ -111,6 +166,27 @@ def _to_py(v):
         return float(v)
     except (TypeError, ValueError):
         return str(v)
+
+
+def _is_number(v) -> bool:
+    try:
+        float(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def _flatten(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """Nested config -> dotted flat params (reference
+    _compute_mlflow_params_from_objects / _flatten_dict)."""
+    out: Dict[str, Any] = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix=f"{key}."))
+        else:
+            out[key] = v
+    return out
 
 
 def _fmt(v) -> str:
