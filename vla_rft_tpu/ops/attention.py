@@ -85,13 +85,21 @@ def _attention_xla(
     # fast-math expf miscompiles huge-magnitude inputs at some (B, Sk)
     # vectorization shapes (range-reduction int overflow -> NaN poisoning
     # whole rows; reproduced at B=16, Sk in {512, 768} while eager mode is
-    # clean), and -inf fill values are equally UB under fast-math.  So:
-    # max over valid lanes only (finite initial), exp input clipped to
-    # [-80, 0] (exp(-80) == 0 in f32 softmax terms), masked lanes zeroed by
-    # multiplication.
-    m = jnp.max(s, axis=-1, keepdims=True, where=mask, initial=-1e4)
-    e = jnp.exp(jnp.clip(s - m, -80.0, 0.0)) * mask.astype(jnp.float32)
-    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    # clean), and -inf fill values are equally UB under fast-math.
+    # Construction (autodiff-safe — this path IS differentiated):
+    #  * finite fill (-1e4) for the running max, stop_gradient on the shift
+    #    (gradient-neutral; avoids the where-max VJP's 0/0 on fully-masked
+    #    rows);
+    #  * masked lanes get exp(0) — never exp of garbage — then select 0, so
+    #    both value and cotangent die exactly;
+    #  * any row with a valid lane has sum(e) >= exp(0) == 1, so clamping
+    #    the denominator at 0.5 is EXACT for valid rows and keeps
+    #    fully-masked rows (p == 0) from scaling cotangents by 1e30.
+    m = jax.lax.stop_gradient(
+        jnp.max(jnp.where(mask, s, -1e4), axis=-1, keepdims=True)
+    )
+    e = jnp.where(mask, jnp.exp(jnp.where(mask, s, m) - m), 0.0)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 0.5)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", p, v.astype(jnp.float32))
     return out.reshape(B, Sq, Hq, D).astype(q.dtype)
 
