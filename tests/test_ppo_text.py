@@ -128,6 +128,36 @@ def test_ppo_text_trainer_step(estimator):
     assert not np.allclose(before, after)
 
 
+def test_ppo_balance_batch_dp2():
+    """trainer.balance_batch reorders rows so contiguous dp shards carry
+    near-equal token sums (ray_trainer._balance_batch:787-802) and logs
+    global_seqlen/* stats."""
+    c = vla_rft_default_config()
+    c.data.train_batch_size = 4
+    c.actor_rollout_ref.rollout.n = 2
+    c.actor_rollout_ref.rollout.response_length = 6
+    c.actor_rollout_ref.actor.ppo_mini_batch_size = 8
+    c.algorithm.adv_estimator = "grpo"
+    c.processor.eos_token_id = 2
+    c.processor.pad_token_id = 0
+    c.trainer.total_training_steps = 1
+    c.trainer.balance_batch = True
+    c.mesh = {"dp": 2, "fsdp": 1, "tp": 1, "sp": 1}
+    mesh = make_mesh(MeshConfig(dp=2), devices=jax.devices()[:2])
+    trainer = PPOTrainer(
+        c, LLM_CFG, ToyTokenizer(), ToyDataset(), mesh=mesh,
+        reward_manager=NaiveRewardManager(ToyTokenizer(), compute_score=toy_score),
+    )
+    m = trainer.training_step(trainer.dataset.sample_batch(4), jax.random.key(0))
+    assert "global_seqlen/minmax_diff" in m
+    assert (
+        m["global_seqlen/balanced_max"] - m["global_seqlen/balanced_min"]
+        <= m["global_seqlen/max"] - m["global_seqlen/min"]
+    )
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+
 def test_fire_sampling_runs():
     from vla_rft_tpu.workers.llm_rollout import LLMRolloutConfig, generate_sequences
     from vla_rft_tpu.models.transformer import Decoder

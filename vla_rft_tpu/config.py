@@ -311,6 +311,7 @@ def vla_rft_default_config() -> Config:
                 "val_iters": 10,
                 "test_freq": -1,
                 "critic_warmup": 0,
+                "balance_batch": False,
                 "default_local_dir": "checkpoints/vla_rft_tpu",
                 "reward_fn": "mae",
                 "loss_weight": {"lpips": 1, "mae": 1, "mse": 0, "ssim": 0, "psnr": 0},

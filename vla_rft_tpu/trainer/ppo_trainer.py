@@ -385,6 +385,32 @@ class PPOTrainer:
             if values is not None:
                 data["values"] = values
 
+            if cfg.trainer.get("balance_batch", False):
+                # _balance_batch (ray_trainer.py:787-802): reorder rows so
+                # contiguous dp shards carry near-equal token sums (the dp
+                # axis shards dim 0 in row blocks, so partition-contiguous
+                # order IS the dispatch layout)
+                from vla_rft_tpu.utils.seqlen_balancing import (
+                    get_seqlen_balanced_partitions,
+                    log_seqlen_unbalance,
+                )
+
+                world = int(self.mesh.shape.get("dp", 1)) * int(
+                    self.mesh.shape.get("fsdp", 1)
+                )
+                if world > 1:
+                    seqlens = (
+                        np.asarray(gen["attention_mask"]).sum(-1).astype(int).tolist()
+                    )
+                    parts = get_seqlen_balanced_partitions(
+                        seqlens, world, equal_size=True
+                    )
+                    order = np.asarray([j for p in parts for j in p])
+                    data = {k: v[order] for k, v in data.items()}
+                    metrics.update(
+                        log_seqlen_unbalance(seqlens, parts, "global_seqlen")
+                    )
+
             actor_cfg = cfg.actor_rollout_ref.actor
             mini = actor_cfg.ppo_mini_batch_size
             total = data["input_ids"].shape[0]

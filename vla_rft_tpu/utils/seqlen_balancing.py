@@ -91,3 +91,19 @@ def get_reverse_idx(idx_list: List[int]) -> List[int]:
     for pos, i in enumerate(idx_list):
         rev[i] = pos
     return rev
+
+
+def log_seqlen_unbalance(seqlen_list, partitions, prefix):
+    """Before/after dp-rank token-sum stats (seqlen_balancing.py:186-215)."""
+    k = len(partitions)
+    bs = len(seqlen_list) // k
+    naive = [sum(seqlen_list[o : o + bs]) for o in range(0, len(seqlen_list), bs)]
+    balanced = [sum(seqlen_list[i] for i in p) for p in partitions]
+    return {
+        f"{prefix}/min": min(naive),
+        f"{prefix}/max": max(naive),
+        f"{prefix}/minmax_diff": max(naive) - min(naive),
+        f"{prefix}/balanced_min": min(balanced),
+        f"{prefix}/balanced_max": max(balanced),
+        f"{prefix}/mean": sum(naive) / len(naive),
+    }
