@@ -59,6 +59,45 @@ def test_top_p_keeps_nucleus():
     assert out[0, 2] <= -1e29 and out[0, 3] <= -1e29
 
 
+def test_top_p_bisect_matches_sorted_reference():
+    """The sort-free bisection nucleus must keep the same set as the classic
+    descending-sort + exclusive-cumsum rule (up to boundary ties), on peaked,
+    flat, and near-uniform distributions."""
+
+    def sorted_ref(logits, p):
+        sl = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sl, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_sorted = (cum - probs) < p
+        thresh = jnp.min(
+            jnp.where(keep_sorted, sl, jnp.inf), axis=-1, keepdims=True
+        )
+        return logits >= thresh
+
+    rng = np.random.default_rng(3)
+    cases = [
+        jnp.asarray(rng.normal(size=(4, 997)) * 5.0, jnp.float32),  # peaked
+        jnp.asarray(rng.normal(size=(4, 997)) * 0.01, jnp.float32),  # near-uniform
+        jnp.asarray(rng.normal(size=(4, 997)), jnp.float32),
+    ]
+    for p in (0.3, 0.8, 0.95):
+        for logits in cases:
+            keep_new = np.asarray(apply_top_p(logits, p) > -1e29)
+            keep_ref = np.asarray(sorted_ref(logits, p))
+            # identical except possibly fp-boundary tokens; the kept MASS
+            # must cover p on both and differ by at most the boundary prob
+            probs = np.asarray(jax.nn.softmax(logits, -1))
+            m_new = (probs * keep_new).sum(-1)
+            m_ref = (probs * keep_ref).sum(-1)
+            assert (m_new >= p - 1e-5).all() and (m_ref >= p - 1e-5).all()
+            diff = keep_new ^ keep_ref
+            assert (probs * diff).sum(-1).max() < 5e-3, (p, (probs * diff).sum(-1))
+    # top token survives even when p <= pmax
+    sharp = jnp.asarray([[10.0, 0.0, -5.0]])
+    out = np.asarray(apply_top_p(sharp, 0.5))
+    assert out[0, 0] > -1e29 and (out[0, 1:] <= -1e29).all()
+
+
 def test_sample_token_greedy_and_random():
     logits = jnp.asarray([[0.0, 10.0, 0.0]])
     tok = sample_token(jax.random.key(0), logits, do_sample=False)

@@ -21,22 +21,35 @@ def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
-def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+def apply_top_p(logits: jnp.ndarray, p: float, iters: int = 26) -> jnp.ndarray:
     """Nucleus filtering. Keeps the smallest set of tokens with cumulative
     probability >= p (vLLM semantics: tokens whose prefix-exclusive cumsum
-    < p survive). p>=1 disables."""
+    < p survive). p>=1 disables.
+
+    Sort-free: a token is kept iff the mass of strictly-more-probable tokens
+    is < p, i.e. iff its probability exceeds t* = sup{t : mass(probs > t)
+    >= p}.  t* is found by bisection — `iters` masked reduces over the vocab
+    — instead of the full descending sort + cumsum.  TPU sorts are bitonic
+    multi-pass affairs; at decode shapes (rows x 9008 vocab, once per
+    generated token) the bisection is far cheaper and exact to pmax/2^iters
+    (ties at the boundary are all kept, where the sort keeps an arbitrary
+    subset — same renormalized distribution up to fp)."""
     if p is None or p >= 1.0:
         return logits
-    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # keep tokens while the cumulative mass *before* them is < p
-    keep_sorted = (cum - probs) < p
-    # threshold = smallest kept logit
-    thresh = jnp.min(
-        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
-    )
-    return jnp.where(logits < thresh, NEG_INF, logits)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    pmax = jnp.max(probs, axis=-1, keepdims=True)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        mass = jnp.sum(jnp.where(probs > mid, probs, 0.0), axis=-1, keepdims=True)
+        ge = mass >= p  # t* is above mid
+        return jnp.where(ge, mid, lo), jnp.where(ge, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(
+        0, iters, body, (jnp.zeros_like(pmax), pmax)
+    )  # invariant: mass(probs > lo) >= p throughout
+    return jnp.where(probs > lo, logits, NEG_INF)
 
 
 def filtered_logits(
