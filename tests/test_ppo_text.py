@@ -128,6 +128,59 @@ def test_ppo_text_trainer_step(estimator):
     assert not np.allclose(before, after)
 
 
+def test_prefix_shared_rollout_matches_plain():
+    """sglang-analog prompt-prefix sharing: generating the n rollouts of each
+    unique prompt against one shared prefilled prompt KV must produce the
+    SAME sequences as the plain per-row cache path (same rng, greedy and
+    sampled), including left-padded prompts."""
+    from vla_rft_tpu.workers.llm_rollout import LLMRolloutConfig, generate_sequences
+    from vla_rft_tpu.models.transformer import Decoder
+
+    llm = Decoder(LLM_CFG)
+    params = llm.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32))
+    uniq = jnp.asarray([[0, 0, 5, 6, 7, 8], [3, 4, 5, 6, 7, 8]], jnp.int32)
+    n = 3
+    prompts = jnp.repeat(uniq, n, axis=0)  # (6, 6) repeat-contiguous
+    for do_sample in (False, True):
+        cfg = LLMRolloutConfig(
+            response_length=6, eos_token_id=2, pad_token_id=0, do_sample=do_sample
+        )
+        plain = generate_sequences(llm, params, jax.random.key(9), prompts, cfg)
+        shared = generate_sequences(
+            llm, params, jax.random.key(9), prompts, cfg, prefix_share_n=n
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain["responses"]), np.asarray(shared["responses"]),
+            err_msg=f"do_sample={do_sample}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain["attention_mask"]), np.asarray(shared["attention_mask"])
+        )
+
+
+def test_ppo_trainer_prefix_share_step():
+    """PPO trainer step with rollout.prefix_share=True runs end-to-end."""
+    c = vla_rft_default_config()
+    c.data.train_batch_size = 2
+    c.actor_rollout_ref.rollout.n = 2
+    c.actor_rollout_ref.rollout.response_length = 6
+    c.actor_rollout_ref.rollout.prefix_share = True
+    c.actor_rollout_ref.actor.ppo_mini_batch_size = 4
+    c.algorithm.adv_estimator = "grpo"
+    c.processor.eos_token_id = 2
+    c.processor.pad_token_id = 0
+    c.trainer.total_training_steps = 1
+    c.mesh = {"dp": 1, "fsdp": 1, "tp": 1, "sp": 1}
+    mesh = make_mesh(MeshConfig(dp=1), devices=jax.devices()[:1])
+    trainer = PPOTrainer(
+        c, LLM_CFG, ToyTokenizer(), ToyDataset(), mesh=mesh,
+        reward_manager=NaiveRewardManager(ToyTokenizer(), compute_score=toy_score),
+    )
+    m = trainer.training_step(trainer.dataset.sample_batch(2), jax.random.key(0))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+
 def test_ppo_balance_batch_dp2():
     """trainer.balance_batch reorders rows so contiguous dp shards carry
     near-equal token sums (ray_trainer._balance_batch:787-802) and logs

@@ -223,6 +223,10 @@ def vla_rft_default_config() -> Config:
                     "response_length": 568,
                     "do_sample": True,
                     "n": 16,
+                    # text-RL rollout: share one prefilled prompt KV across
+                    # the n GRPO rollouts (sglang RadixAttention analog,
+                    # one level deep) — llm_rollout.generate_sequences
+                    "prefix_share": False,
                     "log_prob_micro_batch_size_per_gpu": 16,
                     "num_flow_steps": 10,
                     "val_kwargs": {"top_k": -1, "top_p": 1.0, "temperature": 1.0, "n": 1, "do_sample": True},

@@ -293,7 +293,7 @@ class Attention(nn.Module):
     def __call__(
         self, x, positions, kv_lens, cache=None, cache_index=None, causal=True,
         layer_idx=None, kv_starts=None, shared_cache=None, shared_len=0,
-        prefix_map=None,
+        prefix_map=None, shared_starts=None,
     ):
         """cache: FULL stacked (ck, cv) of shape (L, B, S, nkv, hd), updated
         in place at `layer_idx` via dynamic_update_slice so lax.scan keeps one
@@ -405,6 +405,7 @@ class Attention(nn.Module):
                         scales=(sk, sv) if int8_cache else None,
                         shared_scales=(ssk, ssv) if int8_cache else None,
                         block_b=cfg.decode_block_b,
+                        shared_starts=shared_starts,
                     )
                 else:
                     # XLA fallback (CPU tests / large S): gather each row's
@@ -439,7 +440,7 @@ class Attention(nn.Module):
                     )
                     out = attention(
                         q, k_all, v_all, causal=causal, kv_lens=kv_lens_eff,
-                        q_offset=q_offset, impl="xla",
+                        q_offset=q_offset, kv_starts=shared_starts, impl="xla",
                     )
             elif S == 1 and impl in ("auto", "pallas") and on_tpu:
                 # single-token decode: pallas kernel slices the layer out of
@@ -523,13 +524,13 @@ class DecoderLayer(nn.Module):
     def __call__(
         self, x, positions, kv_lens, cache=None, cache_index=None, causal=True,
         layer_idx=None, kv_starts=None, shared_cache=None, shared_len=0,
-        prefix_map=None,
+        prefix_map=None, shared_starts=None,
     ):
         cfg = self.cfg
         h, new_cache = Attention(cfg, name="self_attn")(
             RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="input_layernorm")(x),
             positions, kv_lens, cache, cache_index, causal, layer_idx, kv_starts,
-            shared_cache, shared_len, prefix_map,
+            shared_cache, shared_len, prefix_map, shared_starts,
         )
         x = x + h
         x = x + MLP(cfg, name="mlp")(
@@ -566,6 +567,7 @@ class Decoder(nn.Module):
         shared_cache: Optional[Tuple] = None,
         shared_len: int = 0,
         prefix_map: Optional[jnp.ndarray] = None,
+        shared_starts: Optional[jnp.ndarray] = None,
     ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[Dict]]:
         cfg = self.cfg
         embed = nn.Embed(
@@ -607,7 +609,7 @@ class Decoder(nn.Module):
             h, pos, layer_cache, li = carry
             h, new_cache = mdl(
                 h, pos, kv_lens, layer_cache, cache_index, causal, li, kv_starts,
-                shared_cache, shared_len, prefix_map,
+                shared_cache, shared_len, prefix_map, shared_starts,
             )
             return (h, pos, new_cache, li + 1), None
 

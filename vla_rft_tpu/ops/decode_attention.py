@@ -184,6 +184,7 @@ def _shared_decode_kernel(
     li_ref,  # scalar prefetch (1,) layer index (drives index maps)
     kv_lens_ref,  # scalar prefetch (B,) valid OWN-cache lengths (incl. current)
     pm_ref,  # scalar prefetch (B,) row -> shared-cache row
+    ss_ref,  # scalar prefetch (B,) first valid SHARED position (left padding)
     q_ref,  # VMEM (1, heads_in_block, G*Sq, D) — LOGICAL heads
     k_ref,  # VMEM (1, 1, Hb, Sr, Dc) own keys
     v_ref,  # VMEM (1, 1, Hb, Sr, Dc)
@@ -313,7 +314,9 @@ def _shared_decode_kernel(
         # cache causal per query row — row n's query sits at own position
         # kv_len - Sq + (n % Sq), so it sees own pos <= that
         pos_sh = jax.lax.broadcasted_iota(jnp.int32, (N, Sp), 1)
-        s_sh = jnp.where(pos_sh < shared_valid, s_sh, NEG_INF)
+        ss = ss_ref[b * Bb]  # rows of a block share the prefix row (and pads)
+        sh_ok = (pos_sh < shared_valid) & (pos_sh >= ss)
+        s_sh = jnp.where(sh_ok, s_sh, NEG_INF)
         pos_ow = jax.lax.broadcasted_iota(jnp.int32, (N, Sr), 1)
         qi = jax.lax.broadcasted_iota(jnp.int32, (N, Sr), 0) % sq
         s_ow = jnp.where(pos_ow < kv_vec - (sq - 1) + qi, s_ow, NEG_INF)
@@ -322,9 +325,7 @@ def _shared_decode_kernel(
             jnp.max(s_sh, axis=-1, keepdims=True), jnp.max(s_ow, axis=-1, keepdims=True)
         )
         # bounded exp (see decode_attention): mask via select, not -1e30
-        p_sh = jnp.where(
-            pos_sh < shared_valid, jnp.exp(jnp.clip(s_sh - m, -80.0, 0.0)), 0.0
-        )
+        p_sh = jnp.where(sh_ok, jnp.exp(jnp.clip(s_sh - m, -80.0, 0.0)), 0.0)
         p_ow = jnp.where(
             pos_ow < kv_vec - (sq - 1) + qi, jnp.exp(jnp.clip(s_ow - m, -80.0, 0.0)), 0.0
         )
@@ -399,6 +400,7 @@ def decode_attention_shared(
     interpret: bool = False,
     block_b: int = 1,
     row_chunk: Optional[int] = None,
+    shared_starts: Optional[jnp.ndarray] = None,  # (B,) first valid shared pos
 ) -> jnp.ndarray:
     """Returns (B, Sq, Hq, D). See `_shared_decode_kernel`.
 
@@ -440,53 +442,55 @@ def decode_attention_shared(
         jnp.swapaxes(q, 1, 2).reshape(B, Hkv, G, Sq, D).reshape(B, Hkv, G * Sq, D)
     )
 
+    if shared_starts is None:
+        shared_starts = jnp.zeros((B,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B // Bb, 1),
         in_specs=[
             pl.BlockSpec(
-                (Bb, hq_blk, G * Sq, D), lambda b, g, li, kl, pm: (b, g, 0, 0),
+                (Bb, hq_blk, G * Sq, D), lambda b, g, li, kl, pm, ss: (b, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, Bb, hg, Sr, Dc), lambda b, g, li, kl, pm: (li[0], b, g, 0, 0),
+                (1, Bb, hg, Sr, Dc), lambda b, g, li, kl, pm, ss: (li[0], b, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, Bb, hg, Sr, Dc), lambda b, g, li, kl, pm: (li[0], b, g, 0, 0),
+                (1, Bb, hg, Sr, Dc), lambda b, g, li, kl, pm, ss: (li[0], b, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             # shared blocks: consecutive b with equal prefix_map revisit the
             # same block -> DMA elided by the pipeline
             pl.BlockSpec(
                 (1, 1, hg, Sp, Dc),
-                lambda b, g, li, kl, pm, Bb=Bb: (li[0], pm[b * Bb], g, 0, 0),
+                lambda b, g, li, kl, pm, ss, Bb=Bb: (li[0], pm[b * Bb], g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, hg, Sp, Dc),
-                lambda b, g, li, kl, pm, Bb=Bb: (li[0], pm[b * Bb], g, 0, 0),
+                lambda b, g, li, kl, pm, ss, Bb=Bb: (li[0], pm[b * Bb], g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]
         + (
             [
                 pl.BlockSpec(
-                    (1, Bb, hq_blk, Sr), lambda b, g, li, kl, pm: (li[0], b, g, 0),
+                    (1, Bb, hq_blk, Sr), lambda b, g, li, kl, pm, ss: (li[0], b, g, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, Bb, hq_blk, Sr), lambda b, g, li, kl, pm: (li[0], b, g, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, hq_blk, Sp),
-                    lambda b, g, li, kl, pm, Bb=Bb: (li[0], pm[b * Bb], g, 0),
+                    (1, Bb, hq_blk, Sr), lambda b, g, li, kl, pm, ss: (li[0], b, g, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
                     (1, 1, hq_blk, Sp),
-                    lambda b, g, li, kl, pm, Bb=Bb: (li[0], pm[b * Bb], g, 0),
+                    lambda b, g, li, kl, pm, ss, Bb=Bb: (li[0], pm[b * Bb], g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, hq_blk, Sp),
+                    lambda b, g, li, kl, pm, ss, Bb=Bb: (li[0], pm[b * Bb], g, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ]
@@ -494,7 +498,7 @@ def decode_attention_shared(
             else []
         ),
         out_specs=pl.BlockSpec(
-            (Bb, hg, G * Sq, Dc), lambda b, g, li, kl, pm: (b, g, 0, 0),
+            (Bb, hg, G * Sq, Dc), lambda b, g, li, kl, pm, ss: (b, g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -521,6 +525,7 @@ def decode_attention_shared(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
         kv_lens_own.astype(jnp.int32),
         prefix_map.astype(jnp.int32),
+        shared_starts.astype(jnp.int32),
         qg,
         ck,
         cv,

@@ -135,9 +135,20 @@ class PPOTrainer:
         R = self.roll_cfg.response_length
         temp = self.roll_cfg.temperature
 
+        # sglang-analog prompt-prefix sharing: the n GRPO rollouts of each
+        # prompt share one prefilled prompt KV (rows are repeat-contiguous)
+        share_n = (
+            cfg.actor_rollout_ref.rollout.n
+            if cfg.actor_rollout_ref.rollout.get("prefix_share", False)
+            else 1
+        )
+
         @jax.jit
         def gen_fn(params, rng, prompts):
-            return generate_sequences(self.llm, params, rng, prompts, self.roll_cfg)
+            return generate_sequences(
+                self.llm, params, rng, prompts, self.roll_cfg,
+                prefix_share_n=share_n,
+            )
 
         import dataclasses as _dc
 

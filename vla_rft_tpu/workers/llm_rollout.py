@@ -42,10 +42,18 @@ def generate_sequences(
     rng: jax.Array,
     prompt_ids: jnp.ndarray,  # (B, P) LEFT-padded with pad_token
     cfg: LLMRolloutConfig,
+    prefix_share_n: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Returns responses + full sequences + attention_mask + position_ids,
     matching the tensor contract of vllm_rollout.generate_sequences
-    (vllm_rollout.py:291-300)."""
+    (vllm_rollout.py:291-300).
+
+    prefix_share_n > 1 enables RadixAttention-style prompt-prefix sharing
+    (the sglang_rollout's decisive idea, one level deep): rows are the n
+    GRPO rollouts of B//n unique prompts laid out contiguously; the prompt
+    KV is prefilled ONCE per unique into a read-only shared cache and every
+    decode step attends [shared prefix | own response cache] via the
+    split-cache path — prompt KV memory and attention reads / n."""
     B, P = prompt_ids.shape
     R = cfg.response_length
     pad_counts = jnp.sum((prompt_ids == cfg.pad_token_id).astype(jnp.int32), axis=1)
@@ -56,13 +64,33 @@ def generate_sequences(
     positions = jnp.clip(
         jnp.arange(P, dtype=jnp.int32)[None, :] - kv_starts[:, None], 0, None
     )
-    cache = llm.init_cache(B, P + R)
-    logits, _, cache = llm.apply(
-        params, prompt_ids, positions=positions, cache=cache, cache_index=0,
-        kv_starts=kv_starts, kv_lens=jnp.full((B,), P, jnp.int32),
-        logits_last_only=True,
-    )
-    last_logits = logits[:, -1]
+    n = prefix_share_n
+    shared_kw = {}
+    if n > 1:
+        assert B % n == 0, (B, n)
+        B_u = B // n
+        uniq = prompt_ids[::n]
+        shared_cache = llm.init_cache(B_u, P)
+        logits, _, shared_cache = llm.apply(
+            params, uniq, positions=positions[::n], cache=shared_cache,
+            cache_index=0, kv_starts=kv_starts[::n],
+            kv_lens=jnp.full((B_u,), P, jnp.int32), logits_last_only=True,
+        )
+        last_logits = jnp.repeat(logits[:, -1], n, axis=0)  # (B, V)
+        cache = llm.init_cache(B, R)  # own cache: response positions only
+        shared_kw = dict(
+            shared_cache=shared_cache, shared_len=P,
+            prefix_map=jnp.repeat(jnp.arange(B_u, dtype=jnp.int32), n, axis=0),
+            shared_starts=kv_starts,
+        )
+    else:
+        cache = llm.init_cache(B, P + R)
+        logits, _, cache = llm.apply(
+            params, prompt_ids, positions=positions, cache=cache, cache_index=0,
+            kv_starts=kv_starts, kv_lens=jnp.full((B,), P, jnp.int32),
+            logits_last_only=True,
+        )
+        last_logits = logits[:, -1]
 
     def step(carry, i):
         cache, last_logits, key = carry
@@ -78,7 +106,8 @@ def generate_sequences(
         pos = (prompt_lens + i).astype(jnp.int32)[:, None]
         step_logits, _, cache = llm.apply(
             params, tok[:, None], positions=pos, cache=cache, cache_index=P + i,
-            kv_starts=kv_starts,
+            kv_starts=kv_starts, kv_lens=jnp.full((B,), P + i + 1, jnp.int32),
+            **shared_kw,
         )
         return (cache, step_logits[:, 0], key), tok
 
