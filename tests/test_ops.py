@@ -393,6 +393,45 @@ def test_decode_attention_shared_matches_concat_xla():
             )
 
 
+def test_decode_attention_shared_starts_left_padding():
+    """Per-row shared_starts (left-padded prompts in the shared prefix) —
+    kernel (interpret) == concat + kv_starts-masked XLA attention."""
+    from vla_rft_tpu.ops.decode_attention import decode_attention_shared
+
+    rng = np.random.default_rng(37)
+    L, B, Bu, Hkv, G, Sp, Sr, D = 2, 4, 2, 2, 2, 48, 32, 32
+    Hq = Hkv * G
+    pm = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    sck = jnp.asarray(rng.normal(size=(L, Bu, Hkv, Sp, D)), jnp.float32) * 0.3
+    scv = jnp.asarray(rng.normal(size=(L, Bu, Hkv, Sp, D)), jnp.float32)
+    ck = jnp.asarray(rng.normal(size=(L, B, Hkv, Sr, D)), jnp.float32) * 0.3
+    cv = jnp.asarray(rng.normal(size=(L, B, Hkv, Sr, D)), jnp.float32)
+    shared_valid = 40
+    starts = jnp.asarray([6, 6, 0, 0], jnp.int32)  # unique 0 left-padded by 6
+    for Sq in (1, 4):
+        q = jnp.asarray(rng.normal(size=(B, Sq, Hq, D)), jnp.float32) * 0.3
+        own_lens = jnp.asarray([Sq, 10 + Sq, 20 + Sq, 32], jnp.int32)
+        for li in range(L):
+            out = decode_attention_shared(
+                q, ck, cv, sck, scv, jnp.asarray(li), own_lens, pm,
+                shared_valid=shared_valid, interpret=True,
+                shared_starts=starts, block_b=2,
+            )
+            k_sh = jnp.take(sck[li], pm, axis=0)[:, :, :shared_valid]
+            v_sh = jnp.take(scv[li], pm, axis=0)[:, :, :shared_valid]
+            k_all = jnp.swapaxes(jnp.concatenate([k_sh, ck[li]], axis=2), 1, 2)
+            v_all = jnp.swapaxes(jnp.concatenate([v_sh, cv[li]], axis=2), 1, 2)
+            ref = attention(
+                q, k_all, v_all, causal=True,
+                kv_lens=shared_valid + own_lens,
+                q_offset=shared_valid + own_lens - Sq,
+                kv_starts=starts, impl="xla",
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4
+            )
+
+
 def test_decode_attention_shared_packed_int8():
     """Packed head pairs + int8 quantized caches through the split kernel."""
     from vla_rft_tpu.models.transformer import pack_kv_heads
