@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--kv-dtype", default="int8")
     ap.add_argument("--block-b", type=int, default=1)
+    ap.add_argument("--kv-layout", default="hd", choices=["hd", "heads"])
     ap.add_argument("--weights-int8", action="store_true")
     ap.add_argument("--spec-k", type=int, default=0)
     ap.add_argument(
@@ -35,7 +36,8 @@ def main():
     args = ap.parse_args()
 
     cfg = TransformerConfig.wm_llama(
-        kv_cache_dtype=args.kv_dtype, decode_block_b=args.block_b
+        kv_cache_dtype=args.kv_dtype, decode_block_b=args.block_b,
+        kv_layout=args.kv_layout,
     )
     wm = Decoder(cfg)
     roll = WMRolloutConfig()
@@ -88,6 +90,7 @@ def main():
                 return generate_sequences(
                     wm, params, key, prompt[:, p0:], actions, rc,
                     shared_prefix=prompt[:: B // nu, :p0], prefix_map=pm,
+                    prefix_run=B // nu,
                 )
         else:
 

@@ -255,10 +255,16 @@ def vla_rft_default_config() -> Config:
                     # many statically-sized cache segments (perf-neutral
                     # semantics; see wm_rollout.generate_sequences)
                     "cache_segments": 8,
-                    # rows per split-cache decode-kernel iteration (must
-                    # divide rollout.n; amortizes per-iteration latency —
-                    # measured B=128: bb=1 144, bb=2 164, bb=4 156, bb=8 131 f/s)
-                    "decode_block_b": 2,
+                    # UPPER BOUND on rows per decode-kernel iteration; each
+                    # call clamps to the largest divisor of its uniform-
+                    # prefix run (n+1=17 with the interleaved gt row).
+                    # 'hd' kernel: bigger is better (shared-segment work is
+                    # linear in it); 'heads' kernel measured best at 2.
+                    "decode_block_b": 32,
+                    # KV cache layout: 'hd' (L,B,S,Hkv*D — head-dense lanes,
+                    # ops/decode_attention_hd.py) or 'heads' (L,B,H,S,D
+                    # pair-packed, round-1 kernels)
+                    "kv_layout": "hd",
                     # run the gt-action branch once per unique SAMPLE instead
                     # of once per rollout: the branch depends only on
                     # per-sample inputs (shared prompt head + gt actions), and

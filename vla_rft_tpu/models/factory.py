@@ -47,18 +47,11 @@ class ModelBundle:
 
 
 def _checked_block_b(config) -> int:
-    """decode_block_b rows of the split-cache kernel must all share one
-    prefix_map entry — violating it silently attends to ANOTHER sample's
-    prompt cache, so a bad value is fatal here, not a warning."""
-    bb = int(config.world_model_rollout.rollout.get("decode_block_b", 2) or 1)
-    n = int(config.actor_rollout_ref.rollout.n)
-    if bb > 1 and n % bb != 0:
-        raise ValueError(
-            f"decode_block_b ({bb}) must divide actor_rollout_ref.rollout.n "
-            f"({n}): kernel blocks would span different samples' shared "
-            f"prompt caches"
-        )
-    return bb
+    """decode_block_b is an upper bound on the kernel's batch block; each
+    generate_sequences call clamps it to the largest divisor of the caller's
+    uniform-prefix run (prefix_run), so a block can never span two samples'
+    shared prompt caches regardless of this value."""
+    return max(1, int(config.world_model_rollout.rollout.get("decode_block_b", 32) or 1))
 
 
 def build_models(config, preset: str = "libero") -> ModelBundle:
@@ -153,9 +146,12 @@ def build_models(config, preset: str = "libero") -> ModelBundle:
         # 2.4x WM rollout throughput. Rollout-only approximation; logprob
         # paths use full forwards, so PPO math is exact.
         kv_cache_dtype="int8",
-        # vectorize 2 rollout rows per decode-kernel iteration (divides n=16;
-        # see TransformerConfig.decode_block_b; bb=2 measured fastest)
+        # rows per decode-kernel iteration (clamped per call by prefix_run;
+        # see TransformerConfig.decode_block_b)
         decode_block_b=_checked_block_b(config),
+        kv_layout=str(
+            config.world_model_rollout.rollout.get("kv_layout", "hd") or "hd"
+        ),
     )
     # bf16 compute matches the reference's autocast (fsdp_workers.py:1732,
     # processor batch_forward autocast) and halves reward-stage time

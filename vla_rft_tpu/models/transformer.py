@@ -67,17 +67,38 @@ class TransformerConfig:
     # quantize_decoder_params; meant for a FROZEN rollout model (the WM) —
     # training paths keep bf16.
     weights_int8: bool = False
+    # KV cache layout:
+    #   'heads': (L, B, Hkv, S, D) with head-PAIR packing when D*2 <= 128
+    #            (round-1 layout; ops/decode_attention.py kernels);
+    #   'hd':    (L, B, S, Hkv*D) — every position's heads contiguous on the
+    #            lane dim (ops/decode_attention_hd.py kernels).  Removes the
+    #            write-path transpose + pair packing, makes shared-prefix
+    #            scoring head-waste-free, and cuts the decode kernel's
+    #            block-diagonal VPU temps ~Hkv/own_chunk x (see module
+    #            docstring there).  Requires Hkv*D % 128 == 0.
+    kv_layout: str = "hd"
 
     @property
     def hd(self) -> int:
         return self.head_dim or self.hidden_size // self.num_heads
 
     @property
+    def kv_layout_eff(self) -> str:
+        """'hd' needs the lane dim (Hkv*D) 128-aligned; otherwise fall back
+        to the head-blocked layout."""
+        if self.kv_layout == "hd" and (self.num_kv_heads * self.hd) % 128 == 0:
+            return "hd"
+        return "heads"
+
+    @property
     def pack_kv(self) -> bool:
-        """Pack head PAIRS into the KV cache's trailing dim. TPU HBM tiles
-        the last dim to 128 lanes; a (S, 64) cache row is stored (and DMA'd!)
-        as (S, 128) — 2x the memory and 2x the decode bandwidth. Packing two
-        heads per 128-lane row removes the padding entirely."""
+        """Pack head PAIRS into the KV cache's trailing dim ('heads' layout
+        only). TPU HBM tiles the last dim to 128 lanes; a (S, 64) cache row
+        is stored (and DMA'd!) as (S, 128) — 2x the memory and 2x the decode
+        bandwidth. Packing two heads per 128-lane row removes the padding
+        entirely."""
+        if self.kv_layout_eff == "hd":
+            return False
         return self.num_kv_heads % 2 == 0 and self.hd * 2 <= 128
 
     @staticmethod
@@ -352,6 +373,16 @@ class Attention(nn.Module):
                     in_axes=(1, 0, 0), out_axes=1,
                 )(c, new[0], idx)
 
+            def dus_hd(c, new):  # c (L,B,S,HD), new (1,B,Sq,HD): contiguous rows
+                if not per_row_idx:
+                    return jax.lax.dynamic_update_slice(c, new, (li, 0, idx, 0))
+                return jax.vmap(
+                    lambda cb, nb, ib: jax.lax.dynamic_update_slice(
+                        cb, nb[None], (li, ib, 0)
+                    ),
+                    in_axes=(1, 0, 0), out_axes=1,
+                )(c, new[0], idx)
+
             from vla_rft_tpu.ops.attention import _IMPL_OVERRIDE
 
             impl = cfg.attn_impl
@@ -359,33 +390,60 @@ class Attention(nn.Module):
                 impl = _IMPL_OVERRIDE[-1]
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
 
+            use_hd = cfg.kv_layout_eff == "hd"
             packed = cfg.pack_kv  # head pairs share a 128-lane cache row
-            k_t = jnp.swapaxes(k, 1, 2)[None]  # (1, B, nkv, S, hd)
-            v_t = jnp.swapaxes(v, 1, 2)[None]
+            if use_hd:
+                # head-dense rows: the projection output (B, S, nkv, hd) is
+                # ALREADY position-major — reshaping is free (the 'heads'
+                # layout pays a swapaxes transpose every write)
+                k_t = k.reshape(B, S, nkv * hd)[None]  # (1, B, S, HD)
+                v_t = v.reshape(B, S, nkv * hd)[None]
+            else:
+                k_t = jnp.swapaxes(k, 1, 2)[None]  # (1, B, nkv, S, hd)
+                v_t = jnp.swapaxes(v, 1, 2)[None]
             if int8_cache:
-                def quant(x):
-                    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+                def quant(x, axis=-1):
+                    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis)
                     scale = jnp.maximum(a / 127.0, 1e-8)
                     qv = jnp.clip(
-                        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+                        jnp.round(
+                            x.astype(jnp.float32) / jnp.expand_dims(scale, axis)
+                        ), -127, 127,
                     ).astype(jnp.int8)
                     # bf16 scales halve the per-step scale reads; 0.4% relative
                     # error on a 1/127-grained quantizer is noise
                     return qv, scale.astype(jnp.bfloat16)
 
-                kq, ks_new = quant(k_t)  # scales stay per (pos, head), unpacked
-                vq, vs_new = quant(v_t)
-                if packed:
-                    kq, vq = pack_kv_heads(kq), pack_kv_heads(vq)
-                ck = dus5(ck, kq)
-                cv = dus5(cv, vq)
-                sk = dus4(sk, ks_new)
-                sv = dus4(sv, vs_new)
+                if use_hd:
+                    # quantize per (pos, head) on the natural layout, then
+                    # flatten heads into lanes; scales stay (1, B, nkv, S)
+                    kq4, ks_new = quant(k[None])  # (1,B,S,nkv,hd) -> (1,B,S,nkv)
+                    vq4, vs_new = quant(v[None])
+                    ck = dus_hd(ck, kq4.reshape(1, B, S, nkv * hd))
+                    cv = dus_hd(cv, vq4.reshape(1, B, S, nkv * hd))
+                    sk = dus4(sk, jnp.swapaxes(ks_new, 2, 3))
+                    sv = dus4(sv, jnp.swapaxes(vs_new, 2, 3))
+                else:
+                    kq, ks_new = quant(k_t)  # scales per (pos, head), unpacked
+                    vq, vs_new = quant(v_t)
+                    if packed:
+                        kq, vq = pack_kv_heads(kq), pack_kv_heads(vq)
+                    ck = dus5(ck, kq)
+                    cv = dus5(cv, vq)
+                    sk = dus4(sk, ks_new)
+                    sv = dus4(sv, vs_new)
                 new_cache = (ck, cv, sk, sv)
             else:
-                kw, vw = (k_t, v_t) if not packed else (pack_kv_heads(k_t), pack_kv_heads(v_t))
-                ck = dus5(ck, kw.astype(ck.dtype))
-                cv = dus5(cv, vw.astype(cv.dtype))
+                if use_hd:
+                    ck = dus_hd(ck, k_t.astype(ck.dtype))
+                    cv = dus_hd(cv, v_t.astype(cv.dtype))
+                else:
+                    kw, vw = (
+                        (k_t, v_t) if not packed
+                        else (pack_kv_heads(k_t), pack_kv_heads(v_t))
+                    )
+                    ck = dus5(ck, kw.astype(ck.dtype))
+                    cv = dus5(cv, vw.astype(cv.dtype))
                 new_cache = (ck, cv)
             kv_lens_eff = jnp.minimum(kv_lens, cache_index + S)
             if shared_cache is not None:
@@ -395,18 +453,32 @@ class Attention(nn.Module):
                     sck, scv = shared_cache
                 own_lens = kv_lens_eff - shared_len
                 if S <= 8 and impl in ("auto", "pallas") and on_tpu:
-                    from vla_rft_tpu.ops.decode_attention import (
-                        decode_attention_shared,
-                    )
+                    if use_hd:
+                        from vla_rft_tpu.ops.decode_attention_hd import (
+                            decode_attention_shared_hd,
+                        )
 
-                    out = decode_attention_shared(
-                        q, ck, cv, sck, scv, li, own_lens, prefix_map,
-                        shared_valid=shared_len,
-                        scales=(sk, sv) if int8_cache else None,
-                        shared_scales=(ssk, ssv) if int8_cache else None,
-                        block_b=cfg.decode_block_b,
-                        shared_starts=shared_starts,
-                    )
+                        out = decode_attention_shared_hd(
+                            q, ck, cv, sck, scv, li, own_lens, prefix_map,
+                            shared_valid=shared_len,
+                            scales=(sk, sv) if int8_cache else None,
+                            shared_scales=(ssk, ssv) if int8_cache else None,
+                            block_b=cfg.decode_block_b,
+                            shared_starts=shared_starts,
+                        )
+                    else:
+                        from vla_rft_tpu.ops.decode_attention import (
+                            decode_attention_shared,
+                        )
+
+                        out = decode_attention_shared(
+                            q, ck, cv, sck, scv, li, own_lens, prefix_map,
+                            shared_valid=shared_len,
+                            scales=(sk, sv) if int8_cache else None,
+                            shared_scales=(ssk, ssv) if int8_cache else None,
+                            block_b=cfg.decode_block_b,
+                            shared_starts=shared_starts,
+                        )
                 else:
                     # XLA fallback (CPU tests / large S): gather each row's
                     # shared prefix, concat with the own cache, regular
@@ -414,11 +486,19 @@ class Attention(nn.Module):
                     def take_layer(a):
                         return jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
 
-                    k_sh, v_sh = take_layer(sck), take_layer(scv)
-                    k_ow, v_ow = take_layer(ck), take_layer(cv)
-                    if packed:
-                        k_sh, v_sh = unpack_kv_heads(k_sh), unpack_kv_heads(v_sh)
-                        k_ow, v_ow = unpack_kv_heads(k_ow), unpack_kv_heads(v_ow)
+                    if use_hd:
+                        # (B, S, HD) -> (B, H, S, D) view for the concat below
+                        as_heads = lambda a: jnp.swapaxes(
+                            a.reshape(a.shape[0], a.shape[1], nkv, hd), 1, 2
+                        )
+                        k_sh, v_sh = as_heads(take_layer(sck)), as_heads(take_layer(scv))
+                        k_ow, v_ow = as_heads(take_layer(ck)), as_heads(take_layer(cv))
+                    else:
+                        k_sh, v_sh = take_layer(sck), take_layer(scv)
+                        k_ow, v_ow = take_layer(ck), take_layer(cv)
+                        if packed:
+                            k_sh, v_sh = unpack_kv_heads(k_sh), unpack_kv_heads(v_sh)
+                            k_ow, v_ow = unpack_kv_heads(k_ow), unpack_kv_heads(v_ow)
                     if int8_cache:
                         deq = lambda a, s: (
                             a.astype(jnp.float32) * s.astype(jnp.float32)[..., None]
@@ -442,23 +522,39 @@ class Attention(nn.Module):
                         q, k_all, v_all, causal=causal, kv_lens=kv_lens_eff,
                         q_offset=q_offset, kv_starts=shared_starts, impl="xla",
                     )
-            elif S == 1 and impl in ("auto", "pallas") and on_tpu:
-                # single-token decode: pallas kernel slices the layer out of
-                # the stacked cache via its index map (head-grouped blocks —
-                # few large DMAs)
-                from vla_rft_tpu.ops.decode_attention import decode_attention
-
+            elif (
+                (S <= 8 if use_hd else S == 1)
+                and impl in ("auto", "pallas") and on_tpu
+            ):
+                # small-query decode: pallas kernel slices the layer out of
+                # the stacked cache via its index map
                 scales = (sk, sv) if int8_cache else None
-                out = decode_attention(
-                    q, ck, cv, li, kv_lens_eff, kv_starts, scales=scales
-                )
+                if use_hd:
+                    from vla_rft_tpu.ops.decode_attention_hd import (
+                        decode_attention_hd,
+                    )
+
+                    out = decode_attention_hd(
+                        q, ck, cv, li, kv_lens_eff, kv_starts, scales=scales,
+                        block_b=cfg.decode_block_b,
+                    )
+                else:
+                    from vla_rft_tpu.ops.decode_attention import decode_attention
+
+                    out = decode_attention(
+                        q, ck, cv, li, kv_lens_eff, kv_starts, scales=scales
+                    )
             else:
                 k_l = jax.lax.dynamic_index_in_dim(ck, li, axis=0, keepdims=False)
                 v_l = jax.lax.dynamic_index_in_dim(cv, li, axis=0, keepdims=False)
-                if packed:
-                    k_l, v_l = unpack_kv_heads(k_l), unpack_kv_heads(v_l)
-                k_all = jnp.swapaxes(k_l, 1, 2)
-                v_all = jnp.swapaxes(v_l, 1, 2)
+                if use_hd:
+                    k_all = k_l.reshape(B, k_l.shape[1], nkv, hd)
+                    v_all = v_l.reshape(B, v_l.shape[1], nkv, hd)
+                else:
+                    if packed:
+                        k_l, v_l = unpack_kv_heads(k_l), unpack_kv_heads(v_l)
+                    k_all = jnp.swapaxes(k_l, 1, 2)
+                    v_all = jnp.swapaxes(v_l, 1, 2)
                 if int8_cache:
                     sk_l = jnp.swapaxes(
                         jax.lax.dynamic_index_in_dim(sk, li, axis=0, keepdims=False), 1, 2
@@ -650,9 +746,12 @@ class Decoder(nn.Module):
         align = 128 if cfg.kv_cache_dtype == "int8" else 8
         max_len = (max_len + align - 1) // align * align
         nkv, hd = cfg.num_kv_heads, cfg.hd
-        if cfg.pack_kv:  # head pairs share a 128-lane row (no HBM lane padding)
-            nkv, hd = nkv // 2, hd * 2
-        shape = (cfg.num_layers, batch_size, nkv, max_len, hd)
+        if cfg.kv_layout_eff == "hd":
+            shape = (cfg.num_layers, batch_size, max_len, nkv * hd)
+        else:
+            if cfg.pack_kv:  # head pairs share a 128-lane row (no lane padding)
+                nkv, hd = nkv // 2, hd * 2
+            shape = (cfg.num_layers, batch_size, nkv, max_len, hd)
         if cfg.kv_cache_dtype == "int8":
             sshape = (cfg.num_layers, batch_size, cfg.num_kv_heads, max_len)
             return (
@@ -662,3 +761,124 @@ class Decoder(nn.Module):
                 jnp.ones(sshape, jnp.bfloat16),
             )
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def cache_seq_axes(self) -> Tuple[int, ...]:
+        """Per-arm axis index of the sequence dim, matching init_cache's
+        tuple order — for callers that grow/slice caches (wm_rollout)."""
+        cfg = self.cfg
+        kv_ax = 2 if cfg.kv_layout_eff == "hd" else 3
+        if cfg.kv_cache_dtype == "int8":
+            return (kv_ax, kv_ax, 3, 3)
+        return (kv_ax, kv_ax)
+
+
+def decode_step_fused(
+    wm: "Decoder",
+    params,
+    input_ids: jnp.ndarray,  # (B, Sq) token ids, Sq <= 8
+    cache: Tuple,
+    cache_index,  # scalar int32 (per-row offsets NOT supported: flax path)
+    kv_lens: Optional[jnp.ndarray] = None,
+    shared_cache: Optional[Tuple] = None,
+    shared_len: int = 0,
+    prefix_map: Optional[jnp.ndarray] = None,
+    shared_starts: Optional[jnp.ndarray] = None,
+    logits_last_only: bool = False,
+    interpret: bool = False,
+):
+    """Flax-free fused decode step for the int8-weight WM rollout.
+
+    Same (logits, hidden=None, new_cache) contract as Decoder.__call__ on
+    the decode path, but the per-layer work runs as THREE pallas calls
+    (fused_rmsnorm_qkv -> decode attention -> fused_o_mlp) over the
+    nn.scan-stacked param tree, instead of ~15 XLA kernel launches.  The
+    flax path stays the reference implementation (tests pin parity) and
+    handles everything this fast path gates out: bf16 caches, per-row
+    cache offsets (speculative decode), qkv_bias models, prefill.
+    """
+    from vla_rft_tpu.ops.decode_attention_hd import (
+        decode_attention_hd,
+        decode_attention_shared_hd,
+    )
+    from vla_rft_tpu.ops.fused_decode_layer import fused_o_mlp, fused_rmsnorm_qkv
+
+    cfg = wm.cfg
+    assert cfg.weights_int8 and cfg.kv_layout_eff == "hd" and not cfg.qkv_bias
+    assert cfg.kv_cache_dtype == "int8"
+    p = params["params"] if "params" in params else params
+    layers = p["layers"]
+    attnp, mlpp = layers["self_attn"], layers["mlp"]
+    B, S = input_ids.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
+
+    x = jnp.take(p["embed_tokens"]["embedding"], input_ids, axis=0).astype(cfg.dtype)
+    idx = jnp.asarray(cache_index, jnp.int32)
+    positions = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[None] + idx, (B, S)
+    )
+    if kv_lens is None:
+        kv_lens = jnp.broadcast_to(idx + S, (B,))
+    kv_lens_eff = jnp.minimum(kv_lens, idx + S)
+    own_idx = idx - shared_len if shared_cache is not None else idx
+    ss = shared_starts
+    if shared_cache is not None and ss is None:
+        ss = jnp.zeros((B,), jnp.int32)
+
+    def body(carry, _):
+        x, (ck, cv, skc, svc), li = carry
+        q, k8, v8, ks, vs = fused_rmsnorm_qkv(
+            x, positions, li,
+            layers["input_layernorm"]["weight"],
+            attnp["q_proj"]["kernel"], attnp["q_proj"]["scale"],
+            attnp["k_proj"]["kernel"], attnp["k_proj"]["scale"],
+            attnp["v_proj"]["kernel"], attnp["v_proj"]["scale"],
+            num_heads=nh, num_kv_heads=nkv, head_dim=hd,
+            eps=cfg.rms_norm_eps, theta=cfg.rope_theta, interpret=interpret,
+        )
+        ck = jax.lax.dynamic_update_slice(ck, k8[None], (li, 0, own_idx, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v8[None], (li, 0, own_idx, 0))
+        skc = jax.lax.dynamic_update_slice(skc, ks[None], (li, 0, 0, own_idx))
+        svc = jax.lax.dynamic_update_slice(svc, vs[None], (li, 0, 0, own_idx))
+        if shared_cache is not None:
+            sck, scv, ssk, ssv = shared_cache
+            attn = decode_attention_shared_hd(
+                q, ck, cv, sck, scv, li, kv_lens_eff - shared_len, prefix_map,
+                shared_valid=shared_len, scales=(skc, svc),
+                shared_scales=(ssk, ssv), block_b=cfg.decode_block_b,
+                shared_starts=ss, interpret=interpret,
+            )
+        else:
+            attn = decode_attention_hd(
+                q, ck, cv, li, kv_lens_eff, scales=(skc, svc),
+                block_b=cfg.decode_block_b, interpret=interpret,
+            )
+        x = fused_o_mlp(
+            attn.reshape(B, S, nh * hd), x, li,
+            attnp["o_proj"]["kernel"], attnp["o_proj"]["scale"],
+            layers["post_attention_layernorm"]["weight"],
+            mlpp["gate_proj"]["kernel"], mlpp["gate_proj"]["scale"],
+            mlpp["up_proj"]["kernel"], mlpp["up_proj"]["scale"],
+            mlpp["down_proj"]["kernel"], mlpp["down_proj"]["scale"],
+            eps=cfg.rms_norm_eps, interpret=interpret,
+        )
+        return (x, (ck, cv, skc, svc), li + 1), None
+
+    (x, new_cache, _), _ = jax.lax.scan(
+        body, (x, tuple(cache), jnp.asarray(0, jnp.int32)), None,
+        length=cfg.num_layers,
+    )
+
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xn = (
+        xf * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+        * p["norm"]["weight"].astype(jnp.float32)
+    ).astype(cfg.dtype)
+    xl = xn[:, -1:] if logits_last_only else xn
+    # QuantDenseGeneral parity: bf16 dot output, bf16 scale, then f32
+    logits = jax.lax.dot_general(
+        xl.astype(jnp.bfloat16),
+        p["lm_head"]["kernel"].astype(jnp.bfloat16),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16) * p["lm_head"]["scale"]
+    return logits.astype(jnp.float32), xn, new_cache

@@ -36,17 +36,12 @@ def validate_config(config, n_devices: int = 1) -> List[str]:
     if total % n_devices != 0:
         problems.append(f"global batch {total} not divisible by {n_devices} devices")
 
-    # split-cache decode kernel: every block_b consecutive rollout rows must
-    # share a prefix_map entry, i.e. block_b | n (and the wm micro-batch
-    # must cut on group boundaries: n | micro_batch_size)
+    # split-cache decode kernel: decode_block_b is a CAP — every call clamps
+    # it to the largest divisor of its uniform-prefix run (prefix_run), so
+    # blocks can't span samples.  Nothing to validate beyond positivity.
     wm_roll = config.world_model_rollout.rollout
-    bb = int(wm_roll.get("decode_block_b", 1) or 1)
-    if bb > 1 and n % bb != 0:
-        problems.append(
-            f"world_model_rollout.rollout.decode_block_b ({bb}) must divide "
-            f"rollout.n ({n}) — blocks would span different samples' shared "
-            f"prompt caches (silently wrong attention)"
-        )
+    if int(wm_roll.get("decode_block_b", 1) or 1) < 1:
+        problems.append("world_model_rollout.rollout.decode_block_b must be >= 1")
     spec_k = int(wm_roll.get("speculative_k", 0) or 0)
     if spec_k > 7:
         problems.append(

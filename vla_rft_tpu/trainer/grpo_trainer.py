@@ -259,14 +259,20 @@ class VLARFTGRPOTrainer:
 
             wm_gen_model = _Decoder(_dc.replace(b.wm_cfg, weights_int8=True))
 
-        @jax.jit
-        def wm_gen_fn(wm_params, rng, shared_prefix, prefix_map, prompt_tails, action_ids):
+        @functools.partial(jax.jit, static_argnames=("prefix_run",))
+        def wm_gen_fn(
+            wm_params, rng, shared_prefix, prefix_map, prompt_tails, action_ids,
+            prefix_run=1,
+        ):
             # shared-prefix prefill: all rollouts/branches of a sample share
             # the prompt's ctx+dyn_0 head; only the 7 action-token tail
-            # differs per row (see wm_rollout.generate_sequences)
+            # differs per row (see wm_rollout.generate_sequences).
+            # prefix_run clamps the decode kernel's block_b: a policy chunk
+            # is n rows per prefix, the gt chunk one row per prefix.
             return wm_rollout.generate_sequences(
                 wm_gen_model, wm_params, rng, prompt_tails, action_ids, roll_cfg,
                 shared_prefix=shared_prefix, prefix_map=prefix_map,
+                prefix_run=prefix_run,
             )
 
         @jax.jit
@@ -560,16 +566,24 @@ class VLARFTGRPOTrainer:
                     tails = prompt[:, p0:]
                     pm_branch = np.arange(prompt.shape[0] // n).repeat(n)
 
-                    def run_wm(rng_base, pm_all, tails_all, actions_all):
+                    _uniform_run = wm_rollout.uniform_prefix_run
+
+                    def run_wm(rng_base, pm_all, tails_all, actions_all, group=n):
+                        # chunk on GROUP boundaries (a group = the rows
+                        # sharing one prompt prefix, n or n+1 with the
+                        # interleaved gt row) so every chunk keeps uniform
+                        # prefix runs for the decode kernel's batch blocks
+                        step_rows = max(group, (wm_size // group) * group)
                         outs = []
-                        for ci, i in enumerate(range(0, tails_all.shape[0], wm_size)):
-                            sl = slice(i, i + wm_size)
+                        for ci, i in enumerate(range(0, tails_all.shape[0], step_rows)):
+                            sl = slice(i, i + step_rows)
                             uniq, local = np.unique(pm_all[sl], return_inverse=True)
                             outs.append(
                                 self._wm_gen(
                                     self._wm_gen_params(), jax.random.fold_in(rng_base, ci),
                                     prefix_unique[uniq], jnp.asarray(local, jnp.int32),
                                     tails_all[sl], actions_all[sl],
+                                    prefix_run=_uniform_run(local),
                                 )
                             )
                         return jnp.concatenate(outs, axis=0)
@@ -593,14 +607,29 @@ class VLARFTGRPOTrainer:
                         # full per-token weight reads again for 4 rows.
                         B_u = total_r // n
                         gt_act_u = wm_inputs["gt_action_ids"][::n]  # (B_u, T, A)
+                        # interleave each sample's gt row right AFTER its n
+                        # rollouts: prefix runs become a uniform n+1, so one
+                        # wm call covers policy+gt rows (the per-token weight
+                        # stream is paid once, not once per chunk) while the
+                        # decode kernel keeps whole-run batch blocks
+                        idx = np.concatenate(
+                            [
+                                np.concatenate(
+                                    [np.arange(s * n, (s + 1) * n), [total_r + s]]
+                                )
+                                for s in range(B_u)
+                            ]
+                        )
                         both = run_wm(
                             r_wm,
-                            np.concatenate([pm_branch, np.arange(B_u)]),
-                            jnp.concatenate([tails, gt_act_u[:, 0]], axis=0),
+                            np.concatenate([pm_branch, np.arange(B_u)])[idx],
+                            jnp.concatenate([tails, gt_act_u[:, 0]], axis=0)[idx],
                             jnp.concatenate(
                                 [wm_inputs["action_ids"], gt_act_u], axis=0
-                            ),
+                            )[idx],
+                            group=n + 1,
                         )
+                        both = both[jnp.asarray(np.argsort(idx))]
                         responses, gt_responses = both[:total_r], both[total_r:]
                     elif use_gt_ac:
                         # policy + gt branches share prompts; one concatenated
@@ -833,12 +862,12 @@ class VLARFTGRPOTrainer:
             pm = jnp.arange(prompt.shape[0] // n, dtype=jnp.int32).repeat(n)
             responses = self._wm_gen(
                 self._wm_gen_params(), r_wm, prompt[::n, :p0], pm, prompt[:, p0:],
-                wm_inputs["action_ids"],
+                wm_inputs["action_ids"], prefix_run=n,
             )
             gt_responses = (
                 self._wm_gen(
                     self._wm_gen_params(), r_wm_gt, prompt[::n, :p0], pm, prompt[:, p0:],
-                    wm_inputs["gt_action_ids"],
+                    wm_inputs["gt_action_ids"], prefix_run=n,
                 )
                 if use_gt_ac
                 else None

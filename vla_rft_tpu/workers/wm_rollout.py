@@ -51,6 +51,11 @@ class WMRolloutConfig:
     # early frames shouldn't pay DMA for the final frames' empty tail).
     # 1 = single full-size cache (old behavior).
     cache_segments: int = 4
+    # fused per-layer decode kernels (models.transformer.decode_step_fused):
+    # norm+qkv+rope+quant / o_proj+mlp as two pallas calls per layer instead
+    # of ~15 XLA launches.  Auto-gated to int8-weight hd-layout non-spec
+    # decode on TPU; False forces the flax reference path everywhere.
+    fused_layers: bool = True
     # speculative decoding draft length (0 = off).  Drafts are the SAME
     # spatial position's token from the previous frame (video tokens are
     # temporally repetitive); acceptance follows exact rejection sampling,
@@ -70,24 +75,37 @@ class WMRolloutConfig:
         return self.prompt_length + self.response_length
 
 
-def grow_cache(cache: Tuple, new_len: int, align: int) -> Tuple:
-    """Zero-pad every cache array's sequence dim (axis 3 for both the
-    (L, B, H, S, D) k/v arrays and the (L, B, H, S) int8 scale arrays) up to
-    `new_len` rounded to the cache alignment (same rule as
-    Decoder.init_cache).  Used between decode segments — a handful of ~GB
-    copies per rollout, vs. reading the unused tail every one of 512 decode
-    steps."""
+def grow_cache(cache: Tuple, new_len: int, align: int, seq_axes=None) -> Tuple:
+    """Zero-pad every cache array's sequence dim up to `new_len` rounded to
+    the cache alignment (same rule as Decoder.init_cache).  `seq_axes` gives
+    each arm's sequence axis (Decoder.cache_seq_axes(); defaults to 3 — the
+    'heads' layout).  Used between decode segments — a handful of ~GB copies
+    per rollout, vs. reading the unused tail every one of 512 decode steps."""
     new_len = (new_len + align - 1) // align * align
+    if seq_axes is None:
+        seq_axes = (3,) * len(cache)
     out = []
-    for arr in cache:
-        s = arr.shape[3]
+    for arr, ax in zip(cache, seq_axes):
+        s = arr.shape[ax]
         if s >= new_len:
             out.append(arr)
             continue
         pad = [(0, 0)] * arr.ndim
-        pad[3] = (0, new_len - s)
+        pad[ax] = (0, new_len - s)
         out.append(jnp.pad(arr, pad))
     return tuple(out)
+
+
+def uniform_prefix_run(local) -> int:
+    """Largest r dividing len(local) such that prefix_map `local` is uniform
+    over every aligned r-row block — the strongest `prefix_run` promise a
+    caller can make for this batch (host-side, numpy array / list)."""
+    Bc = len(local)
+    edges = [i for i in range(Bc - 1) if local[i] != local[i + 1]]
+    for r in sorted((d for d in range(1, Bc + 1) if Bc % d == 0), reverse=True):
+        if all((i + 1) % r == 0 for i in edges):
+            return r
+    return 1
 
 
 def generate_sequences(
@@ -99,6 +117,10 @@ def generate_sequences(
     cfg: WMRolloutConfig,
     shared_prefix: Optional[jnp.ndarray] = None,  # (B_u, P0) unique prompt heads
     prefix_map: Optional[jnp.ndarray] = None,  # (B,) int32 row -> unique index
+    prefix_run: int = 1,  # STATIC caller promise: prefix_map is uniform over
+    # aligned runs of this length (1 = no promise).  Bounds the decode
+    # kernel's block_b so a batch block never spans two shared prefixes —
+    # e.g. the gt-branch chunk has per-row prefixes and must run block_b=1.
 ) -> jnp.ndarray:
     """Returns response tokens (B, response_length): per frame
     [64 sampled visual tokens | 7 teacher-forced action tokens].
@@ -124,6 +146,19 @@ def generate_sequences(
     B = action_ids.shape[0]
     P0 = 0 if shared_prefix is None else shared_prefix.shape[1]
     P = P0 + input_ids.shape[1]
+    if shared_prefix is not None:
+        # clamp the kernel's batch block to the caller's uniform-prefix runs
+        # (kernel contract: every block_b rows share ONE prefix_map entry).
+        # Blocks must tile runs exactly, so the effective block is the
+        # largest DIVISOR of the run length within the configured cap —
+        # e.g. runs of n+1=17 (a sample's rollouts + its gt row) get 17.
+        import dataclasses as _dc
+
+        run = max(1, int(prefix_run))
+        cap = max(1, int(wm.cfg.decode_block_b))
+        eff_bb = max(d for d in range(1, run + 1) if run % d == 0 and d <= cap)
+        if eff_bb != wm.cfg.decode_block_b:
+            wm = type(wm)(_dc.replace(wm.cfg, decode_block_b=eff_bb))
     F = cfg.num_frames
     V = cfg.interact_max_tokens
     A = cfg.action_dim
@@ -159,6 +194,27 @@ def generate_sequences(
         )
     last_logits = logits[:, -1]  # (B, vocab)
     shared_kw = dict(shared_cache=shared, shared_len=P0, prefix_map=prefix_map)
+
+    use_fused = (
+        bool(cfg.fused_layers)
+        and wm.cfg.weights_int8
+        and wm.cfg.kv_layout_eff == "hd"
+        and wm.cfg.kv_cache_dtype == "int8"
+        and not wm.cfg.qkv_bias
+        and int(cfg.speculative_k) == 0
+        and jax.default_backend() not in ("cpu", "gpu")
+    )
+
+    def step_apply(cache, toks, ci):
+        """One decode call: fused pallas path when eligible, flax otherwise."""
+        if use_fused:
+            from vla_rft_tpu.models.transformer import decode_step_fused
+
+            return decode_step_fused(
+                wm, wm_params, toks, cache, ci, shared_cache=shared,
+                shared_len=P0, prefix_map=prefix_map,
+            )
+        return wm.apply(wm_params, toks, cache=cache, cache_index=ci, **shared_kw)
 
     spec_k = int(cfg.speculative_k)
     use_spec = spec_k > 0
@@ -272,10 +328,7 @@ def generate_sequences(
             tok = sample_token(
                 sub, last_logits, cfg.temperature, cfg.top_k, cfg.top_p, cfg.do_sample
             )  # (B,)
-            step_logits, _, cache = wm.apply(
-                wm_params, tok[:, None], cache=cache, cache_index=base + i,
-                **shared_kw,
-            )
+            step_logits, _, cache = step_apply(cache, tok[:, None], base + i)
             return (cache, step_logits[:, 0], key), tok
 
         (cache, last_logits, key), vis_toks = jax.lax.scan(
@@ -284,9 +337,7 @@ def generate_sequences(
 
         # teacher-force the policy's action tokens for frame f+1
         act = jax.lax.dynamic_index_in_dim(action_ids, f + 1, axis=1, keepdims=False)
-        act_logits, _, cache = wm.apply(
-            wm_params, act, cache=cache, cache_index=base + V, **shared_kw
-        )
+        act_logits, _, cache = step_apply(cache, act, base + V)
         last_logits = act_logits[:, -1]
         frame_tokens = jnp.concatenate([vis_toks.T, act], axis=1)  # (B, V+A)
         return (cache, last_logits, key), frame_tokens
@@ -299,8 +350,9 @@ def generate_sequences(
         carry = (cache, last_logits, rng)
         step_fn = frame_step
     frame_chunks = []
+    seq_axes = wm.cache_seq_axes()
     for f0, f1 in zip(f_starts, bounds):
-        cache = grow_cache(carry[0], (P - P0) + f1 * (V + A), align)
+        cache = grow_cache(carry[0], (P - P0) + f1 * (V + A), align, seq_axes)
         carry = (cache,) + carry[1:]
         carry, frames_s = jax.lax.scan(step_fn, carry, jnp.arange(f0, f1))
         frame_chunks.append(frames_s)  # (f1-f0, B, V+A)
