@@ -167,3 +167,46 @@ def test_decode_step_fused_parity(shared):
     ol = np.asarray(out_logits[:, -1], np.float32)
     assert (np.argmax(rl, -1) == np.argmax(ol, -1)).mean() >= 0.75
     np.testing.assert_allclose(ol, rl, atol=0.25, rtol=0.1)
+
+
+def test_fused_rollout_traces(monkeypatch):
+    """Abstract-trace the WHOLE fused rollout (gate forced to TPU): checks
+    the generate_sequences <-> decode_step_fused plumbing (shapes, scan
+    carries, cache threading) without hardware — pallas_call shape-evals."""
+    import dataclasses
+
+    from vla_rft_tpu.models.transformer import quantize_decoder_params
+    from vla_rft_tpu.workers import wm_rollout as wr
+
+    cfg = TransformerConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256, num_layers=2,
+        num_heads=2, num_kv_heads=2, kv_cache_dtype="int8", kv_layout="hd",
+    )
+    wm0 = Decoder(cfg)
+    qparams = quantize_decoder_params(
+        wm0.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32)), cfg
+    )
+    wm = Decoder(dataclasses.replace(cfg, weights_int8=True, decode_block_b=4))
+
+    B, F, V, A = 4, 2, 8, 3
+    ctx = 16
+    P = ctx + V + A
+    roll = wr.WMRolloutConfig(
+        prompt_length=P, response_length=F * (V + A), num_frames=F,
+        interact_max_tokens=V, action_dim=A, do_sample=False, cache_segments=2,
+    )
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, 500, (B, P)), jnp.int32)
+    actions = jnp.asarray(rng.integers(0, 500, (B, F + 1, A)), jnp.int32)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    out = jax.eval_shape(
+        lambda p, r, ids, acts: wr.generate_sequences(
+            wm, p, r, ids, acts, roll,
+            shared_prefix=prompt[::2, : P - A],
+            prefix_map=jnp.asarray([0, 0, 1, 1], jnp.int32),
+            prefix_run=2,
+        ),
+        qparams, jax.random.key(1), prompt[:, P - A :], actions,
+    )
+    assert out.shape == (B, F * (V + A)) and out.dtype == jnp.int32

@@ -59,20 +59,28 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--ctx-len", type=int, default=128)
     ap.add_argument("--tokens-per-frame", type=int, default=64)
-    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--layers", type=int, default=0, help="override model depth (0 = wm_llama_small)")
+    ap.add_argument("--hidden", type=int, default=0)
     ap.add_argument("--greedy", action="store_true")
     ap.add_argument("--params-cache", default="", help="npz path: load trained params if present, else train+save")
     args = ap.parse_args()
 
     cfg = TransformerConfig.wm_llama_small(vocab_size=9008, kv_cache_dtype="int8")
+    if args.layers or args.hidden:
+        import dataclasses as _dc
+
+        h = args.hidden or cfg.hidden_size
+        cfg = _dc.replace(
+            cfg, num_layers=args.layers or cfg.num_layers, hidden_size=h,
+            intermediate_size=4 * h, num_heads=h // 64, num_kv_heads=h // 64,
+        )
     wm = Decoder(cfg)
     rng = np.random.default_rng(0)
 
     B, F, Vt, A = args.batch, args.frames, args.tokens_per_frame, 7
     ctx_len = args.ctx_len
     prompt_len = ctx_len + Vt + A  # ctx + frame_0 dyn + first action chunk
-    # training sequences carry frames 0..F (so the WM learns the repeat rule)
-    seqs = make_batch(rng, B * 4, ctx_len, F + 1, Vt, A, args.churn)
 
     t0 = time.time()
     params = wm.init(jax.random.key(0), jnp.zeros((1, 8), jnp.int32))
@@ -107,8 +115,11 @@ def main():
     else:
         t0 = time.time()
         for it in range(args.train_steps):
-            sl = (it * B) % (B * 3)
-            ids = jnp.asarray(seqs[sl : sl + B], jnp.int32)
+            # FRESH batch each step: a fixed pool gets memorized (loss far
+            # below the churn-entropy floor) and generalizes nothing
+            ids = jnp.asarray(
+                make_batch(rng, B, ctx_len, F + 1, Vt, A, args.churn), jnp.int32
+            )
             params, opt, loss = step(params, opt, ids)
             if it % 50 == 0 or it == args.train_steps - 1:
                 print(f"[train {it}] loss {float(loss):.3f}", flush=True)

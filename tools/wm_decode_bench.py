@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--kv-dtype", default="int8")
     ap.add_argument("--block-b", type=int, default=1)
     ap.add_argument("--kv-layout", default="hd", choices=["hd", "heads"])
+    ap.add_argument("--profile", default="", help="capture a jax.profiler trace of one timed rollout to this dir")
     ap.add_argument("--weights-int8", action="store_true")
     ap.add_argument("--spec-k", type=int, default=0)
     ap.add_argument(
@@ -107,6 +108,10 @@ def main():
             t0 = time.time()
             out = np.asarray(gen(params, jax.random.key(i + 1), prompt, actions))
             times.append(time.time() - t0)
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                np.asarray(gen(params, jax.random.key(9), prompt, actions))
+            print(f"[profile] trace written to {args.profile}", flush=True)
         best = min(times)
         fps = B * roll.num_frames / best
         print(

@@ -149,11 +149,11 @@ def _fwd_kernel(
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         # bounded exp: masked lanes would feed exp() inputs of ~-1e30, which
         # XLA:CPU fast-math expf miscompiles to NaN at some vector shapes
-        # (and interpret-mode runs these kernels through XLA:CPU).  Clip the
+        # (and interpret-mode runs these kernels through XLA:CPU).  Bound the
         # input (exp(-80) == 0 in f32 softmax terms) and zero masked lanes
         # exactly; fully-masked rows then flow l == 0 -> output 0.
-        p = jnp.where(mask, jnp.exp(jnp.clip(s - m_new[:, None], -80.0, 0.0)), 0.0)
-        alpha = jnp.exp(jnp.clip(m - m_new, -80.0, 0.0))
+        p = jnp.where(mask, jnp.exp(jnp.maximum(s - m_new[:, None], -80.0)), 0.0)
+        alpha = jnp.exp(jnp.maximum(m - m_new, -80.0))
         l_new = l * alpha + jnp.sum(p, axis=-1)
         acc_new = acc * alpha[:, None] + jax.lax.dot_general(
             p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -221,7 +221,7 @@ def _dq_kernel(
         s = jnp.where(mask, s, NEG_INF)
         # bounded exp (see _fwd_kernel): s - lse <= 0 on valid lanes; masked
         # lanes and fully-masked rows (lse == NEG_INF sentinel) select 0
-        p = jnp.where(mask, jnp.exp(jnp.clip(s - lse, -80.0, 0.0)), 0.0)
+        p = jnp.where(mask, jnp.exp(jnp.maximum(s - lse, -80.0)), 0.0)
         dp = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -296,7 +296,7 @@ def _dkv_kernel(
             if causal:
                 mask = mask & (q_pos >= kv_pos)
             s = jnp.where(mask, s, NEG_INF)
-            p = jnp.where(mask, jnp.exp(jnp.clip(s - lse, -80.0, 0.0)), 0.0)
+            p = jnp.where(mask, jnp.exp(jnp.maximum(s - lse, -80.0)), 0.0)
             dv_new = dv + jax.lax.dot_general(
                 p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )

@@ -140,10 +140,10 @@ def _decode_one(
     mask = (pos < kv_len) & (pos >= kv_start)
     s = jnp.where(mask, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    # bounded exp: clip keeps masked lanes (~-1e30) from feeding expf UB
+    # bounded exp: the floor keeps masked lanes (~-1e30) from feeding expf UB
     # under fast-math backends (interpret mode runs on XLA:CPU); the where
     # zeroes them exactly (exp(-80) == 0 in f32 softmax terms)
-    p = jnp.where(mask, jnp.exp(jnp.clip(s - m, -80.0, 0.0)), 0.0)  # (N, S)
+    p = jnp.where(mask, jnp.exp(jnp.maximum(s - m, -80.0)), 0.0)  # (N, S)
     denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
 
     if quantized:
@@ -325,9 +325,9 @@ def _shared_decode_kernel(
             jnp.max(s_sh, axis=-1, keepdims=True), jnp.max(s_ow, axis=-1, keepdims=True)
         )
         # bounded exp (see decode_attention): mask via select, not -1e30
-        p_sh = jnp.where(sh_ok, jnp.exp(jnp.clip(s_sh - m, -80.0, 0.0)), 0.0)
+        p_sh = jnp.where(sh_ok, jnp.exp(jnp.maximum(s_sh - m, -80.0)), 0.0)
         p_ow = jnp.where(
-            pos_ow < kv_vec - (sq - 1) + qi, jnp.exp(jnp.clip(s_ow - m, -80.0, 0.0)), 0.0
+            pos_ow < kv_vec - (sq - 1) + qi, jnp.exp(jnp.maximum(s_ow - m, -80.0)), 0.0
         )
         denom = jnp.maximum(
             jnp.sum(p_sh, -1, keepdims=True) + jnp.sum(p_ow, -1, keepdims=True), 1e-30

@@ -152,8 +152,8 @@ def _hd_attend(
     m = jnp.max(s_ow, axis=-1, keepdims=True)
     if shared:
         m = jnp.maximum(m, jnp.max(s_sh, axis=-1, keepdims=True))
-        p_sh = jnp.where(sh_ok, jnp.exp(jnp.clip(s_sh - m, -80.0, 0.0)), 0.0)
-    p_ow = jnp.where(own_ok_all, jnp.exp(jnp.clip(s_ow - m, -80.0, 0.0)), 0.0)
+        p_sh = jnp.where(sh_ok, jnp.exp(jnp.maximum(s_sh - m, -80.0)), 0.0)
+    p_ow = jnp.where(own_ok_all, jnp.exp(jnp.maximum(s_ow - m, -80.0)), 0.0)
     denom = jnp.sum(p_ow, -1, keepdims=True)
     if shared:
         denom = denom + jnp.sum(p_sh, -1, keepdims=True)

@@ -141,8 +141,8 @@ def _kernel(
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         # bounded exp: keeps masked lanes (~-1e30) out of expf (fast-math UB
         # on XLA:CPU interpret runs); exp(-80) == 0 in f32 softmax terms
-        p = jnp.where(mask, jnp.exp(jnp.clip(s - m_new[:, None], -80.0, 0.0)), 0.0)
-        alpha = jnp.exp(jnp.clip(m - m_new, -80.0, 0.0))
+        p = jnp.where(mask, jnp.exp(jnp.maximum(s - m_new[:, None], -80.0)), 0.0)
+        alpha = jnp.exp(jnp.maximum(m - m_new, -80.0))
         l = l * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
             p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -159,8 +159,8 @@ def _kernel(
     v_cur = v_new_ref[0, 0, 0].astype(jnp.float32)
     s_cur = jnp.sum(q * k_cur[None, :], axis=-1)  # (G,)
     m_new = jnp.maximum(m, s_cur)
-    p_cur = jnp.exp(jnp.clip(s_cur - m_new, -80.0, 0.0))
-    alpha = jnp.exp(jnp.clip(m - m_new, -80.0, 0.0))
+    p_cur = jnp.exp(jnp.maximum(s_cur - m_new, -80.0))
+    alpha = jnp.exp(jnp.maximum(m - m_new, -80.0))
     l = l * alpha + p_cur
     acc = acc * alpha[:, None] + p_cur[:, None] * v_cur[None, :]
 

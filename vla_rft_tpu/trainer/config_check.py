@@ -57,12 +57,15 @@ def validate_config(config, n_devices: int = 1) -> List[str]:
             "in DESIGN_NOTES round-2 backlog) — use <=16 rows per decode "
             "call until the runtime issue is resolved"
         )
+    # wm micro_batch_size no longer needs n-alignment: run_wm rounds each
+    # chunk down to whole prefix groups (n, or n+1 with the interleaved gt
+    # row) itself — but it must at least cover one group
     wm_mb = int(wm_roll.get("micro_batch_size", 0) or 0)
-    if wm_mb and wm_mb % n != 0:
+    if wm_mb and wm_mb < n:
         problems.append(
-            f"world_model_rollout.rollout.micro_batch_size ({wm_mb}) should be "
-            f"a multiple of rollout.n ({n}) so decode chunks cut on rollout-"
-            f"group boundaries"
+            f"world_model_rollout.rollout.micro_batch_size ({wm_mb}) is "
+            f"smaller than one rollout group (n={n}); decode chunks cut on "
+            f"group boundaries and can't subdivide a group"
         )
 
     # token-layout invariants (ctx_msp)

@@ -611,15 +611,23 @@ class VLARFTGRPOTrainer:
                         # rollouts: prefix runs become a uniform n+1, so one
                         # wm call covers policy+gt rows (the per-token weight
                         # stream is paid once, not once per chunk) while the
-                        # decode kernel keeps whole-run batch blocks
-                        idx = np.concatenate(
-                            [
-                                np.concatenate(
-                                    [np.arange(s * n, (s + 1) * n), [total_r + s]]
-                                )
-                                for s in range(B_u)
-                            ]
-                        )
+                        # decode kernel keeps whole-run batch blocks.
+                        # Speculative mode keeps the old appended layout: its
+                        # 16-rows-per-call TPU-runtime envelope can't take
+                        # n+1=17-row groups.
+                        if b.wm_roll_cfg.speculative_k == 0:
+                            idx = np.concatenate(
+                                [
+                                    np.concatenate(
+                                        [np.arange(s * n, (s + 1) * n), [total_r + s]]
+                                    )
+                                    for s in range(B_u)
+                                ]
+                            )
+                            group = n + 1
+                        else:
+                            idx = np.arange(total_r + B_u)
+                            group = n
                         both = run_wm(
                             r_wm,
                             np.concatenate([pm_branch, np.arange(B_u)])[idx],
@@ -627,7 +635,7 @@ class VLARFTGRPOTrainer:
                             jnp.concatenate(
                                 [wm_inputs["action_ids"], gt_act_u], axis=0
                             )[idx],
-                            group=n + 1,
+                            group=group,
                         )
                         both = both[jnp.asarray(np.argsort(idx))]
                         responses, gt_responses = both[:total_r], both[total_r:]

@@ -69,6 +69,11 @@ def generate_sequences(
     if n > 1:
         assert B % n == 0, (B, n)
         B_u = B // n
+        # rows are uniform runs of n per shared prefix: let the split-cache
+        # kernel batch whole runs per grid iteration (divisor of n, capped)
+        bb = max(d for d in range(1, n + 1) if n % d == 0 and d <= 16)
+        if bb != llm.cfg.decode_block_b:
+            llm = type(llm)(dataclasses.replace(llm.cfg, decode_block_b=bb))
         uniq = prompt_ids[::n]
         shared_cache = llm.init_cache(B_u, P)
         logits, _, shared_cache = llm.apply(
