@@ -713,8 +713,9 @@ class VLARFTGRPOTrainer:
                             rm_acc.setdefault(k, []).append(v)
                     reward_tensor = jnp.concatenate(rew_chunks, axis=0)
                     _sync(reward_tensor)
+                    rm_np = jax.device_get(rm_acc)  # one transfer, not K*chunks
                     metrics.update(
-                        {k: float(np.mean([float(x) for x in v])) for k, v in rm_acc.items()}
+                        {k: float(np.mean(v)) for k, v in rm_np.items()}
                     )
                     token_level_rewards = reward_tensor
 
@@ -732,13 +733,17 @@ class VLARFTGRPOTrainer:
 
             metrics.update(
                 compute_data_metrics(
-                    {
-                        "token_level_rewards": token_level_rewards,
-                        "advantages": advantages,
-                        "returns": returns,
-                        "old_log_probs": actor_batch["old_log_probs"],
-                        "predicted_actions": actor_batch["predicted_actions"],
-                    }
+                    # ONE batched device->host transfer (per-array np.asarray
+                    # inside would each pay a remote-runtime round trip)
+                    jax.device_get(
+                        {
+                            "token_level_rewards": token_level_rewards,
+                            "advantages": advantages,
+                            "returns": returns,
+                            "old_log_probs": actor_batch["old_log_probs"],
+                            "predicted_actions": actor_batch["predicted_actions"],
+                        }
+                    )
                 )
             )
 
@@ -831,9 +836,16 @@ class VLARFTGRPOTrainer:
                 self.params["expert"], self.opt_state, m = self._update(
                     self.params["expert"], self.opt_state, stacked
                 )
+                # keep metrics ON DEVICE: float(v) here would sync per metric
+                # per mini-batch (~25 round trips each through the remote
+                # runtime), serializing the update dispatches — the cause of
+                # update_actor scaling superlinearly with mini-batch count
                 for k, v in m.items():
-                    metrics_acc.setdefault(k, []).append(float(v))
-        return reduce_metrics(metrics_acc)
+                    metrics_acc.setdefault(k, []).append(v)
+        fetched = jax.device_get(metrics_acc)  # ONE transfer for everything
+        return reduce_metrics(
+            {k: [float(x) for x in vs] for k, vs in fetched.items()}
+        )
 
     # -------------------------------------------------------------- validate
     def validate(self, rng: Optional[jax.Array] = None) -> Dict[str, float]:
