@@ -79,6 +79,14 @@ def main():
         )
         times.append(time.time() - t0)
     step_s = float(np.min(times))
+    if os.environ.get("BENCH_PROFILE"):
+        # BENCH_PROFILE=/tmp/trace_dir: capture one profiled step for
+        # tensorboard/xprof stage-level attribution
+        with jax.profiler.trace(os.environ["BENCH_PROFILE"]):
+            trainer.training_step(
+                trainer._prefetched_batch, jax.random.fold_in(rng, 9),
+                next_batch_np=batches[0],
+            )
 
     n_seqs = c.data.train_batch_size * c.actor_rollout_ref.rollout.n
     frames = n_seqs * 8

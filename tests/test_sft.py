@@ -109,3 +109,58 @@ def test_vla_adapter_sft_trains_vlm():
         )
     )
     assert moved
+
+
+def test_prismatic_align_trains_projector_only():
+    """PrismaticAlignTrainer (legacy prismatic pretraining stage 'align'):
+    caption LM loss decreases; ONLY the projector updates — towers and the
+    LLM stay bit-identical (reference prismatic training strategies)."""
+    import jax
+    import numpy as np
+
+    from vla_rft_tpu.config import vla_rft_default_config
+    from vla_rft_tpu.models.factory import build_models, fast_random_params
+    from vla_rft_tpu.trainer.sft_trainer import PrismaticAlignTrainer
+
+    c = vla_rft_default_config()
+    c.data.video.segment_length = 3
+    bundle = build_models(c, preset="tiny")
+    params = fast_random_params(bundle, 0)
+    tr = PrismaticAlignTrainer(bundle.vla, params["vla"], lr=3e-3)
+
+    before = {
+        k: jax.tree_util.tree_map(np.asarray, tr.params["params"][k])
+        for k in ("vision_backbone", "language_model", "action_queries")
+    }
+    proj_before = jax.tree_util.tree_map(
+        np.asarray, tr.params["params"]["projector"]
+    )
+
+    rng = np.random.default_rng(0)
+    B, S = 2, bundle.policy_seq_len
+    img = bundle.policy_image_size
+    ids = rng.integers(1, 100, (B, S)).astype(np.int32)
+    labels = ids.copy()
+    labels[:, : S // 4] = -100
+    batch = {
+        "input_ids": ids,
+        "attention_mask": np.ones((B, S), np.int32),
+        "labels": labels,
+        "pixel_values": rng.random((B, img, img, 6)).astype(np.float32),
+    }
+    losses = [tr.training_step(batch) for _ in range(8)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+    for k, b4 in before.items():
+        for (p, a), (_, bb) in zip(
+            jax.tree_util.tree_leaves_with_path(b4),
+            jax.tree_util.tree_leaves_with_path(tr.params["params"][k]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb), err_msg=str(p))
+    # and the projector DID move
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).max()),
+        proj_before, tr.params["params"]["projector"],
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0

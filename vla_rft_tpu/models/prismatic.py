@@ -171,3 +171,30 @@ class OpenVLA(nn.Module):
         act_hidden, _ = gather_masked(text_hidden, cur_s | nxt_s, cfg.num_tokens)
         task_latent = hidden[:, :P]  # includes BOS, drops last patch — as reference
         return jnp.concatenate([task_latent, act_hidden], axis=1)  # (B, P+64, D)
+
+    def lm_forward(
+        self,
+        input_ids: jnp.ndarray,  # (B, S) right-padded caption tokens
+        pixel_values: jnp.ndarray,  # (B, H, W, 6) in [0,1]
+        attention_mask: jnp.ndarray,  # (B, S)
+    ) -> jnp.ndarray:
+        """Language-modeling forward for the PRETRAINING stages (the legacy
+        prismatic stack's align/finetune objective: caption next-token loss
+        with vision patches after BOS — reference
+        prismatic/models/vlms/prismatic.py forward).  No action-query
+        substitution; returns logits over the text region only,
+        (B, S, vocab): logits[:, i] predicts input_ids[:, i+1]."""
+        cfg = self.cfg
+        B, S = input_ids.shape
+        P = cfg.num_patches
+        tok_emb = self.language_model(input_ids, embed_only=True)
+        patches = self.projector(self.vision_backbone(pixel_values))
+        mm_emb = jnp.concatenate(
+            [tok_emb[:, :1], patches.astype(tok_emb.dtype), tok_emb[:, 1:]], axis=1
+        )
+        kv_lens = attention_mask.sum(axis=-1).astype(jnp.int32) + P
+        logits, _, _ = self.language_model(
+            inputs_embeds=mm_emb, kv_lens=kv_lens, compute_logits=True
+        )  # (B, S+P, V)
+        # text positions: BOS at 0, then patches, then input_ids[1:]
+        return jnp.concatenate([logits[:, :1], logits[:, P + 1 :]], axis=1)

@@ -45,8 +45,12 @@ def run(argv=None):
         _run_vla_flow(config, preset, steps)
     elif mode == "vla_adapter":
         _run_vla_adapter(config, preset, steps)
+    elif mode == "vla_align":
+        _run_vla_align(config, preset, steps)
     else:
-        raise SystemExit(f"unknown sft.mode {mode!r} (text | vla_flow | vla_adapter)")
+        raise SystemExit(
+            f"unknown sft.mode {mode!r} (text | vla_flow | vla_adapter | vla_align)"
+        )
 
 
 class SFTParquetDataset:
@@ -224,6 +228,62 @@ def _run_vla_adapter(config, preset, steps):
             },
         )
         print(f"[sft step {step}] adapter_bc_loss {loss:.4f} ({time.time()-t0:.2f}s)", flush=True)
+
+
+def _run_vla_align(config, preset, steps):
+    """Legacy prismatic PRETRAINING 'align' stage: projector-only training
+    on image-caption next-token loss (reference prismatic/training
+    strategies, stage='align').  Synthetic captions here; point
+    data.train_files at a parquet of (caption, image) rows for real runs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vla_rft_tpu.data.synthetic import SyntheticVLAConfig, SyntheticVLADataset
+    from vla_rft_tpu.models.action_masks import IGNORE_INDEX
+    from vla_rft_tpu.models.factory import build_models, fast_random_params
+    from vla_rft_tpu.trainer.sft_trainer import PrismaticAlignTrainer
+
+    bundle = build_models(config, preset)
+    params = fast_random_params(bundle, config.trainer.get("seed", 0))
+    sft = config.get("sft", {})
+    dataset = SyntheticVLADataset(
+        SyntheticVLAConfig(
+            batch_size=config.data.train_batch_size,
+            seq_len=bundle.policy_seq_len,
+            num_action_tokens=bundle.vla_cfg.num_tokens,
+            policy_image_size=bundle.policy_image_size,
+            wm_image_size=bundle.wm_image_size,
+            num_frames=bundle.num_raw_frames,
+            action_chunk=bundle.expert_cfg.num_actions_chunk,
+            action_dim=bundle.expert_cfg.action_dim,
+            proprio_dim=bundle.vla_cfg.proprio_dim,
+            seed=config.trainer.get("seed", 0),
+        )
+    )
+    trainer = PrismaticAlignTrainer(
+        bundle.vla, params["vla"],
+        lr=float(sft.get("projector_lr", 1e-3) if hasattr(sft, "get") else 1e-3),
+    )
+    for step in range(1, steps + 1):
+        t0 = time.time()
+        b = dataset.next_batch()
+        am = np.asarray(b["attention_mask"])
+        ids = np.asarray(b["input_ids"])
+        # caption supervision: predict the valid tokens after the first
+        # quarter of each row (a prompt/caption split stand-in)
+        labels = np.where(am > 0, ids, IGNORE_INDEX)
+        cut = max(1, ids.shape[1] // 4)
+        labels[:, :cut] = IGNORE_INDEX
+        loss = trainer.training_step(
+            {
+                "input_ids": ids,
+                "pixel_values": b["pixel_values"],
+                "attention_mask": am,
+                "labels": labels,
+            }
+        )
+        print(f"[align {step}] loss {loss:.4f}  ({time.time()-t0:.2f}s)", flush=True)
+
 
 
 if __name__ == "__main__":

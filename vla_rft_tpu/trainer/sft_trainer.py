@@ -184,3 +184,63 @@ class VLAAdapterSFTTrainer:
             self.params, self.opt_state, rng, batch
         )
         return float(loss)
+
+
+class PrismaticAlignTrainer:
+    """The legacy prismatic PRETRAINING 'align' stage (reference
+    prismatic/training strategies + vlms/prismatic.py: stage='align' trains
+    ONLY the projector on image-caption next-token loss, vision towers and
+    LLM frozen).  Completes the pretraining-stage surface next to
+    VLAAdapterSFTTrainer (the 'finetune' analog).
+
+    Loss: cross-entropy over caption tokens where labels != IGNORE_INDEX,
+    from OpenVLA.lm_forward (patches after BOS, no action queries).
+    """
+
+    def __init__(self, vla, vla_params, lr: float = 1e-3, grad_clip: float = 1.0):
+        self.vla = vla
+        self.params = vla_params
+
+        def label(path_leaf):
+            return (
+                "projector"
+                if "projector" in jax.tree_util.keystr(path_leaf)
+                else "frozen"
+            )
+
+        labels = jax.tree_util.tree_map_with_path(lambda p, _: label(p), self.params)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.multi_transform(
+                {"projector": optax.adamw(lr), "frozen": optax.set_to_zero()},
+                labels,
+            ),
+        )
+        self.opt_state = self.tx.init(self.params)
+        self._step = jax.jit(self._train_step)
+
+    def _loss(self, params, batch):
+        from vla_rft_tpu.models.action_masks import IGNORE_INDEX
+
+        logits = self.vla.apply(
+            params, batch["input_ids"], batch["pixel_values"],
+            batch["attention_mask"], method=self.vla.lm_forward,
+        )  # (B, S, V); position i predicts token i+1
+        labels = batch["labels"][:, 1:]
+        lp = logprobs_from_logits(
+            logits[:, :-1].astype(jnp.float32), jnp.maximum(labels, 0)
+        )
+        mask = (labels != IGNORE_INDEX).astype(jnp.float32)
+        return -(lp * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+    def _train_step(self, params, opt_state, batch):
+        loss, grads = jax.value_and_grad(self._loss)(params, batch)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def training_step(self, batch: Dict[str, Any]) -> float:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        self.params, self.opt_state, loss = self._step(
+            self.params, self.opt_state, batch
+        )
+        return float(loss)
