@@ -51,6 +51,10 @@ def main():
     c.actor_rollout_ref.actor.ppo_micro_batch_size_per_gpu = 16
     if os.environ.get("BENCH_RSC"):
         c.actor_rollout_ref.actor.replay_step_chunks = int(os.environ["BENCH_RSC"])
+    if os.environ.get("BENCH_RWMB"):  # reward/detokenize rows per chunk
+        c.processor.tokenizer_micro_batch_size = int(os.environ["BENCH_RWMB"])
+    if os.environ.get("BENCH_WMMB"):  # wm decode rows per call
+        c.world_model_rollout.rollout.micro_batch_size = int(os.environ["BENCH_WMMB"])
     c.actor_rollout_ref.rollout.log_prob_micro_batch_size_per_gpu = 16
     c.trainer.total_training_steps = 400
     c.trainer.logger = []
