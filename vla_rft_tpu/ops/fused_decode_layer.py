@@ -159,19 +159,33 @@ def fused_rmsnorm_qkv(
     L = norm_w.shape[0]
     HqD = num_heads * head_dim
     KD = num_kv_heads * head_dim
+
+    # Mosaic requires the last TWO block dims to divide (8, 128) or equal the
+    # array dims — a (1, X) block of an (L, X) array violates the sublane
+    # rule.  Lift every per-layer VECTOR to (L, 1, X) so its (1, 1, X) block
+    # matches the array's trailing dims exactly; kernels index [0] and get a
+    # broadcast-compatible (1, X) slice.
+    def _v3(t):
+        return t.reshape(t.shape[0], 1, t.shape[-1])
+
+    def _vec_spec(X):
+        return pl.BlockSpec(
+            (1, 1, X), lambda i, li: (li[0], 0, 0), memory_space=pltpu.VMEM
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
             pl.BlockSpec((B, Sq), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Sq, H), lambda i, li: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i, li: (li[0], 0), memory_space=pltpu.VMEM),
+            _vec_spec(H),
             pl.BlockSpec((1, H, HqD), lambda i, li: (li[0], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HqD), lambda i, li: (li[0], 0), memory_space=pltpu.VMEM),
+            _vec_spec(HqD),
             pl.BlockSpec((1, H, KD), lambda i, li: (li[0], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KD), lambda i, li: (li[0], 0), memory_space=pltpu.VMEM),
+            _vec_spec(KD),
             pl.BlockSpec((1, H, KD), lambda i, li: (li[0], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KD), lambda i, li: (li[0], 0), memory_space=pltpu.VMEM),
+            _vec_spec(KD),
         ],
         out_specs=[
             pl.BlockSpec((B, Sq, num_heads, head_dim), lambda i, li: (0, 0, 0, 0),
@@ -207,7 +221,7 @@ def fused_rmsnorm_qkv(
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
         positions.astype(jnp.int32),
-        x, norm_w, wq, sq, wk, sk, wv, sv,
+        x, _v3(norm_w), wq, _v3(sq), wk, _v3(sk), wv, _v3(sv),
     )
 
 
@@ -225,6 +239,15 @@ def fused_o_mlp(
     B, Sq, H = x.shape
     HqD = attn_out.shape[-1]
     I = wg.shape[-1]
+
+    def _v3(t):  # (L, X) -> (L, 1, X); see fused_rmsnorm_qkv
+        return t.reshape(t.shape[0], 1, t.shape[-1])
+
+    def _vec_spec(X):
+        return pl.BlockSpec(
+            (1, 1, X), lambda i, li: (li[0], 0, 0), memory_space=pltpu.VMEM
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -232,14 +255,14 @@ def fused_o_mlp(
             pl.BlockSpec((B, Sq, HqD), lambda i, li: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Sq, H), lambda i, li: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HqD, H), lambda i, li: (li[0], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i, li: (li[0], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i, li: (li[0], 0), memory_space=pltpu.VMEM),
+            _vec_spec(H),
+            _vec_spec(H),
             pl.BlockSpec((1, H, I), lambda i, li: (li[0], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, I), lambda i, li: (li[0], 0), memory_space=pltpu.VMEM),
+            _vec_spec(I),
             pl.BlockSpec((1, H, I), lambda i, li: (li[0], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, I), lambda i, li: (li[0], 0), memory_space=pltpu.VMEM),
+            _vec_spec(I),
             pl.BlockSpec((1, I, H), lambda i, li: (li[0], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i, li: (li[0], 0), memory_space=pltpu.VMEM),
+            _vec_spec(H),
         ],
         out_specs=pl.BlockSpec((B, Sq, H), lambda i, li: (0, 0, 0), memory_space=pltpu.VMEM),
     )
@@ -256,5 +279,6 @@ def fused_o_mlp(
         ),
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
-        attn_out, x, wo, so, norm_w, wg, sg, wu, su, wd, sd,
+        attn_out, x, wo, _v3(so), _v3(norm_w),
+        wg, _v3(sg), wu, _v3(su), wd, _v3(sd),
     )
