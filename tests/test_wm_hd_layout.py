@@ -101,8 +101,12 @@ def test_effective_block_b_divisor_of_run():
 @pytest.mark.parametrize("shared", [False, True])
 def test_decode_step_fused_parity(shared):
     """Fused pallas decode step vs the flax reference path: cache writes
-    bit-equal (same quantization math), logits close (the hd attention
-    kernel int8-quantizes q/p where the CPU fallback attends in f32)."""
+    within ONE int8 quantum / one bf16 ulp on scales (the quantization
+    MATH is identical, but the two paths are separately-compiled XLA
+    programs whose FMA/fusion choices round 1-ulp differently — measured
+    maxdiff exactly 1 int8 step, incl. the rope-free v arm); logits close
+    (the hd attention kernel int8-quantizes q/p where the CPU fallback
+    attends in f32)."""
     from vla_rft_tpu.models.transformer import (
         decode_step_fused,
         quantize_decoder_params,
@@ -159,10 +163,13 @@ def test_decode_step_fused_parity(shared):
     own_pos = P - (kw.get("shared_len", 0))
     for a, b in zip(ref_cache, out_cache):
         ax = 2 if a.dtype == jnp.int8 else 3
-        np.testing.assert_array_equal(
-            np.asarray(jnp.take(a[0], own_pos, axis=ax - 1)),
-            np.asarray(jnp.take(b[0], own_pos, axis=ax - 1)),
-        )
+        av = np.asarray(jnp.take(a[0], own_pos, axis=ax - 1), np.float32)
+        bv = np.asarray(jnp.take(b[0], own_pos, axis=ax - 1), np.float32)
+        if a.dtype == jnp.int8:
+            assert np.max(np.abs(av - bv)) <= 1  # one quantum
+            assert (av != bv).mean() < 0.25
+        else:  # bf16 scales: one ulp
+            np.testing.assert_allclose(bv, av, rtol=1e-2)
     rl = np.asarray(ref_logits[:, -1], np.float32)
     ol = np.asarray(out_logits[:, -1], np.float32)
     assert (np.argmax(rl, -1) == np.argmax(ol, -1)).mean() >= 0.75

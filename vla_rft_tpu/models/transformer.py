@@ -800,7 +800,11 @@ def decode_step_fused(
         decode_attention_hd,
         decode_attention_shared_hd,
     )
-    from vla_rft_tpu.ops.fused_decode_layer import fused_o_mlp, fused_rmsnorm_qkv
+    from vla_rft_tpu.ops.fused_decode_layer import (
+        fused_o_mlp,
+        fused_rmsnorm_qkv,
+        rope_tables,
+    )
 
     cfg = wm.cfg
     assert cfg.weights_int8 and cfg.kv_layout_eff == "hd" and not cfg.qkv_bias
@@ -823,18 +827,21 @@ def decode_step_fused(
     ss = shared_starts
     if shared_cache is not None and ss is None:
         ss = jnp.zeros((B,), jnp.int32)
+    # trig is layer-invariant: one XLA computation per decode step
+    rope_cos, rope_sins = rope_tables(positions, cfg.rope_theta, nh, hd)
 
     def body(carry, _):
         x, (ck, cv, skc, svc), li = carry
         q, k8, v8, ks, vs = fused_rmsnorm_qkv(
-            x, positions, li,
+            x, rope_cos, rope_sins, li,
             layers["input_layernorm"]["weight"],
             attnp["q_proj"]["kernel"], attnp["q_proj"]["scale"],
             attnp["k_proj"]["kernel"], attnp["k_proj"]["scale"],
             attnp["v_proj"]["kernel"], attnp["v_proj"]["scale"],
             num_heads=nh, num_kv_heads=nkv, head_dim=hd,
-            eps=cfg.rms_norm_eps, theta=cfg.rope_theta, interpret=interpret,
+            eps=cfg.rms_norm_eps, interpret=interpret,
         )
+        q = q.reshape(B, S, nh, hd)  # kernel emits head-dense (B, S, Hq*D)
         ck = jax.lax.dynamic_update_slice(ck, k8[None], (li, 0, own_idx, 0))
         cv = jax.lax.dynamic_update_slice(cv, v8[None], (li, 0, own_idx, 0))
         skc = jax.lax.dynamic_update_slice(skc, ks[None], (li, 0, 0, own_idx))

@@ -79,11 +79,25 @@ def _hd_attend(
     quantized = sk_own is not None
     shared = k_sh is not None
 
+    # Lane-group selection matrix: sel[l, d] = (l % D == d).  Used both to
+    # tile (N, D) -> (N, HD) (q build) and to reduce (N, HD) -> (N, D)
+    # (head-lane extraction).  Mosaic rejects the equivalent
+    # (N, HD) <-> (N, HD//D, D) shape casts ("infer-vector-layout:
+    # unsupported shape cast", the round-2 BENCH blocker) — a constant 2D
+    # matmul lowers cleanly and its FLOPs (N*HD*D) are noise.
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (HD, D), 0) % D
+        == jax.lax.broadcasted_iota(jnp.int32, (HD, D), 1)
+    ).astype(jnp.float32)
+
     # ---- block-diagonal queries: (N, HD), head h(n)'s values in its lanes
     q2 = q_blk.astype(jnp.float32).reshape(N, D) * scale
     row_h = (jax.lax.broadcasted_iota(jnp.int32, (N, HD), 0) // GS) % Hkv
     lane_h = jax.lax.broadcasted_iota(jnp.int32, (N, HD), 1) // D
-    qb = jnp.where(lane_h == row_h, jnp.concatenate([q2] * (HD // D), axis=1), 0.0)
+    q_tiled = jax.lax.dot_general(
+        q2, sel, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    qb = jnp.where(lane_h == row_h, q_tiled, 0.0)
     if quantized:
         qs = jnp.maximum(jnp.max(jnp.abs(qb), axis=-1, keepdims=True), 1e-8) / 127.0
         q_i8 = jnp.clip(jnp.round(qb / qs), -127, 127).astype(jnp.int8)
@@ -197,9 +211,15 @@ def _hd_attend(
                 preferred_element_type=jnp.float32,
             )
 
-    # extract each row's head lanes: (N, HD) -> (N, D)
+    # extract each row's head lanes: (N, HD) -> (N, D) via the selection
+    # matmul (sum over head slots; non-head lanes already zeroed)
     out = jnp.where(lane_h == row_h, out, 0.0)
-    out = jnp.sum(out.reshape(N, HD // D, D), axis=1) / denom
+    out = (
+        jax.lax.dot_general(
+            out, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        / denom
+    )
     return out.reshape(cb, Hkv, GS, D).astype(out_dtype)
 
 

@@ -33,6 +33,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _v3(t):
+    """(L, X) -> (L, 1, X).  Mosaic requires the last TWO block dims to
+    divide (8, 128) or equal the array dims — a (1, X) block of an (L, X)
+    array violates the sublane rule.  Lifting per-layer VECTORS to
+    (L, 1, X) makes their (1, 1, X) block match the array's trailing dims
+    exactly; kernels index [0] and get a broadcast-compatible (1, X)."""
+    return t.reshape(t.shape[0], 1, t.shape[-1])
+
+
+def _vec_spec(X):
+    """BlockSpec for a _v3-lifted per-layer vector: (1, 1, X) at layer li."""
+    return pl.BlockSpec(
+        (1, 1, X), lambda i, li: (li[0], 0, 0), memory_space=pltpu.VMEM
+    )
+
+
 def _rmsnorm(x, w, eps):
     """Matches models.transformer.RMSNorm: f32 stats, output in x.dtype."""
     xf = x.astype(jnp.float32)
@@ -51,80 +67,107 @@ def _qdot(xn_bf16, w_ref, s_ref):
     return y * s_ref[0]
 
 
-def _rope(x, pos, theta, d):
-    """NeoX rotary on (N, d) rows with per-row positions (N, 1)."""
-    half = d // 2
-    freqs = 1.0 / (theta ** (jax.lax.broadcasted_iota(jnp.float32, (1, half), 1) * (2.0 / d)))
-    ang = pos.astype(jnp.float32) * freqs  # (N, half)
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
-    x1, x2 = x[:, :half], x[:, half:]
-    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=1)
+def _rope_dense(t_bf16, cos, sins, half):
+    """NeoX rotary directly on head-dense (N, nh*d) rows.
+
+    Mosaic rejects the lane-split reshape (N, nh*d) -> (N, nh, d)
+    ("infer-vector-layout: unsupported shape cast"), so the per-head
+    formulation is unusable in-kernel.  Dense equivalent: each lane's
+    rotation partner sits at lane l ^ (d/2) (the within-head half swap),
+    extracted by ONE MXU dot against a constant 0/1 permutation matrix —
+    exact for bf16 inputs (f32 accumulation of one product).  cos / sins
+    are precomputed per lane OUTSIDE the kernel (sins carries the NeoX
+    sign: -sin on the first half of each head, +sin on the second), so
+    out = t*cos + partner*sins  ==  [x1*cos - x2*sin, x2*cos + x1*sin]
+    bit-for-bit (IEEE sign-flip and a+(-c)==a-c exactness).
+    """
+    width = t_bf16.shape[-1]
+    ai = jax.lax.broadcasted_iota(jnp.int32, (width, width), 0)
+    bi = jax.lax.broadcasted_iota(jnp.int32, (width, width), 1)
+    perm = (bi == (ai ^ half)).astype(jnp.bfloat16)
+    partner = jax.lax.dot_general(
+        t_bf16, perm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return t_bf16.astype(jnp.float32) * cos + partner * sins
+
+
+def _quant_T(tf, nh, d, B, Sq):
+    """Per-(pos, head) symmetric int8 quant of head-dense (N, nh*d) f32 rows.
+
+    The per-head amax needs a lane-GROUP reduction, which Mosaic can't
+    express on the dense layout (lane-split reshape unsupported); in the
+    TRANSPOSED layout (nh*d, N) the head groups live on sublanes, where
+    the (nh, d, N) split and axis-1 max are supported.  Math matches
+    models.transformer.Attention.quant bit-for-bit (same f32 values, max
+    is order-exact).  Returns (q8 (B, Sq, nh*d) int8, scales (B, nh, Sq)
+    bf16 — the cache layout's scale arrangement).
+    """
+    N = B * Sq
+    t3 = tf.T.reshape(nh, d, N)
+    a = jnp.max(jnp.abs(t3), axis=1)  # (nh, N)
+    sc = jnp.maximum(a / 127.0, 1e-8)
+    q3 = jnp.clip(jnp.round(t3 / sc[:, None, :]), -127, 127)
+    q8 = q3.reshape(nh * d, N).T.astype(jnp.int8).reshape(B, Sq, nh * d)
+    # bf16 cast LAST: a bf16 relayout mid-chain (cast before the swapaxes)
+    # crashes the Mosaic compiler at Sq∈{1,7} shapes
+    scb = jnp.swapaxes(sc.T.reshape(B, Sq, nh), 1, 2).astype(jnp.bfloat16)
+    return q8, scb
 
 
 def _qkv_kernel(
     li_ref,  # scalar prefetch: (1,) layer idx
-    pos_ref,  # (B, Sq) int32 absolute positions (VMEM input)
+    cos_ref,  # (N, HqD) f32 per-lane cos (layer-invariant, computed outside)
+    sins_ref,  # (N, HqD) f32 per-lane signed sin
     x_ref,  # (B, Sq, H)
-    nw_ref,  # (1, H) input_layernorm weight
-    wq_ref, sq_ref,  # (1, H, HqD), (1, HqD)
-    wk_ref, sk_ref,  # (1, H, KD), (1, KD)
+    nw_ref,  # (1, 1, H) input_layernorm weight (_v3-lifted; [0] -> (1, H))
+    wq_ref, sq_ref,  # (1, H, HqD), (1, 1, HqD)
+    wk_ref, sk_ref,  # (1, H, KD), (1, 1, KD)
     wv_ref, sv_ref,
-    q_ref,  # out (B, Sq, Hq, D) bf16, rope'd
+    q_ref,  # out (B, Sq, HqD) bf16, rope'd, head-dense
     k8_ref,  # out (B, Sq, KD) int8, rope'd + quantized
     v8_ref,  # out (B, Sq, KD) int8
     ks_ref,  # out (B, Hkv, Sq) bf16 k scales
     vs_ref,  # out (B, Hkv, Sq) bf16
     *,
     eps: float,
-    theta: float,
     hq: int,
     hkv: int,
     d: int,
 ):
     B, Sq, H = x_ref.shape
     N = B * Sq
+    KD = hkv * d
+    half = d // 2
     xn = _rmsnorm(x_ref[:].reshape(N, H), nw_ref[0], eps)
     q = _qdot(xn, wq_ref, sq_ref)  # (N, Hq*D) bf16
     k = _qdot(xn, wk_ref, sk_ref)  # (N, Hkv*D)
     v = _qdot(xn, wv_ref, sv_ref)
 
-    pos_col = pos_ref[:].reshape(N, 1).astype(jnp.float32)
-    # rope is applied per head: operate on (N*h, D) rows, positions repeated
-    def rope_heads(t, nh):  # rope computes f32, returns input dtype
-        tt = t.reshape(N, nh, d).reshape(N * nh, d)
-        pp = jnp.repeat(pos_col, nh, axis=0)
-        return _rope(tt, pp, theta, d).astype(t.dtype).reshape(N, nh, d)
+    cos = cos_ref[:]
+    sins = sins_ref[:]
+    q_r = _rope_dense(q, cos, sins, half)
+    # cos/sins tile with period d, so the k slice is just the first KD lanes
+    k_r = _rope_dense(k, cos[:, :KD], sins[:, :KD], half)
+    q_ref[:] = q_r.astype(jnp.bfloat16).reshape(B, Sq, hq * d)
 
-    q_r = rope_heads(q, hq)
-    k_r = rope_heads(k, hkv)
-    q_ref[:] = q_r.reshape(B, Sq, hq, d).astype(q_ref.dtype)
-
-    # per-(pos, head) symmetric int8 quantization (matches Attention.quant)
-    def quant(t):  # (N, hkv, d) bf16 -> int8 + bf16 scales
-        t = t.astype(jnp.float32)
-        a = jnp.max(jnp.abs(t), axis=-1)  # (N, hkv)
-        scale = jnp.maximum(a / 127.0, 1e-8)
-        q8 = jnp.clip(jnp.round(t / scale[..., None]), -127, 127).astype(jnp.int8)
-        return q8, scale.astype(jnp.bfloat16)
-
-    k8, ks = quant(k_r)
-    v8, vs = quant(v.reshape(N, hkv, d))
-    k8_ref[:] = k8.reshape(B, Sq, hkv * d)
-    v8_ref[:] = v8.reshape(B, Sq, hkv * d)
-    # scales out as (B, Hkv, Sq) — the cache layout's scale arrangement
-    ks_ref[:] = jnp.swapaxes(ks.reshape(B, Sq, hkv), 1, 2)
-    vs_ref[:] = jnp.swapaxes(vs.reshape(B, Sq, hkv), 1, 2)
+    # flax parity: rope returns bf16 (x.dtype); quant then upcasts to f32
+    k8, ks = _quant_T(k_r.astype(jnp.bfloat16).astype(jnp.float32), hkv, d, B, Sq)
+    v8, vs = _quant_T(v.astype(jnp.float32), hkv, d, B, Sq)
+    k8_ref[:] = k8
+    v8_ref[:] = v8
+    ks_ref[:] = ks
+    vs_ref[:] = vs
 
 
 def _o_mlp_kernel(
     li_ref,
     attn_ref,  # (B, Sq, HqD)
     x_ref,  # (B, Sq, H) residual input
-    wo_ref, so_ref,  # (1, HqD, H), (1, H)
-    nw_ref,  # (1, H) post_attention_layernorm
-    wg_ref, sg_ref,  # (1, H, I)
+    wo_ref, so_ref,  # (1, HqD, H), (1, 1, H) (_v3-lifted; [0] -> (1, H))
+    nw_ref,  # (1, 1, H) post_attention_layernorm (_v3-lifted)
+    wg_ref, sg_ref,  # (1, H, I), (1, 1, I)
     wu_ref, su_ref,
-    wd_ref, sd_ref,  # (1, I, H)
+    wd_ref, sd_ref,  # (1, I, H), (1, 1, H)
     o_ref,  # out (B, Sq, H) bf16
     *,
     eps: float,
@@ -136,14 +179,35 @@ def _o_mlp_kernel(
     xn = _rmsnorm(x1, nw_ref[0], eps)
     g = _qdot(xn, wg_ref, sg_ref)
     u = _qdot(xn, wu_ref, su_ref)
-    m = jax.nn.silu(g) * u  # bf16, like MLP
+    # silu like MLP (bf16 sigmoid rounding, bf16 multiply) — but sigmoid is
+    # evaluated in f32: Mosaic rejects jax.nn.silu on bf16 vectors
+    # ('vector.broadcast' element-type verification error)
+    m = g * jax.nn.sigmoid(g.astype(jnp.float32)).astype(jnp.bfloat16) * u
     out = x1 + _qdot(m, wd_ref, sd_ref)
     o_ref[:] = out.reshape(B, Sq, H).astype(o_ref.dtype)
 
 
+def rope_tables(positions, theta, num_heads, head_dim):
+    """Per-lane (N, Hq*D) f32 cos / signed-sin tables for _rope_dense.
+
+    Layer-invariant — compute ONCE per decode step, outside the layer scan.
+    Uses the exact freqs expression of models.transformer.rope so the trig
+    values are the same XLA subgraph (bit-equal with the flax path)."""
+    B, Sq = positions.shape
+    N = B * Sq
+    d = head_dim
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = positions.reshape(N, 1).astype(jnp.float32) * freqs  # (N, d/2)
+    cos_h, sin_h = jnp.cos(ang), jnp.sin(ang)
+    cos = jnp.tile(jnp.concatenate([cos_h, cos_h], axis=-1), (1, num_heads))
+    sins = jnp.tile(jnp.concatenate([-sin_h, sin_h], axis=-1), (1, num_heads))
+    return cos, sins
+
+
 def fused_rmsnorm_qkv(
     x,  # (B, Sq, H) bf16
-    positions,  # (B, Sq) int32 absolute positions
+    rope_cos,  # (B*Sq, Hq*D) f32 from rope_tables (layer-invariant)
+    rope_sins,
     layer_idx,
     norm_w,  # (L, H)
     wq, sq, wk, sk, wv, sv,  # stacked int8 kernels + bf16 scales
@@ -152,32 +216,20 @@ def fused_rmsnorm_qkv(
     num_kv_heads: int,
     head_dim: int,
     eps: float,
-    theta: float,
     interpret: bool = False,
 ):
     B, Sq, H = x.shape
     L = norm_w.shape[0]
     HqD = num_heads * head_dim
     KD = num_kv_heads * head_dim
-
-    # Mosaic requires the last TWO block dims to divide (8, 128) or equal the
-    # array dims — a (1, X) block of an (L, X) array violates the sublane
-    # rule.  Lift every per-layer VECTOR to (L, 1, X) so its (1, 1, X) block
-    # matches the array's trailing dims exactly; kernels index [0] and get a
-    # broadcast-compatible (1, X) slice.
-    def _v3(t):
-        return t.reshape(t.shape[0], 1, t.shape[-1])
-
-    def _vec_spec(X):
-        return pl.BlockSpec(
-            (1, 1, X), lambda i, li: (li[0], 0, 0), memory_space=pltpu.VMEM
-        )
+    N = B * Sq
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((B, Sq), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, HqD), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, HqD), lambda i, li: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Sq, H), lambda i, li: (0, 0, 0), memory_space=pltpu.VMEM),
             _vec_spec(H),
             pl.BlockSpec((1, H, HqD), lambda i, li: (li[0], 0, 0), memory_space=pltpu.VMEM),
@@ -188,7 +240,7 @@ def fused_rmsnorm_qkv(
             _vec_spec(KD),
         ],
         out_specs=[
-            pl.BlockSpec((B, Sq, num_heads, head_dim), lambda i, li: (0, 0, 0, 0),
+            pl.BlockSpec((B, Sq, HqD), lambda i, li: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Sq, KD), lambda i, li: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Sq, KD), lambda i, li: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -200,12 +252,11 @@ def fused_rmsnorm_qkv(
     )
     return pl.pallas_call(
         functools.partial(
-            _qkv_kernel, eps=eps, theta=theta, hq=num_heads, hkv=num_kv_heads,
-            d=head_dim,
+            _qkv_kernel, eps=eps, hq=num_heads, hkv=num_kv_heads, d=head_dim,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, Sq, num_heads, head_dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, Sq, HqD), jnp.bfloat16),
             jax.ShapeDtypeStruct((B, Sq, KD), jnp.int8),
             jax.ShapeDtypeStruct((B, Sq, KD), jnp.int8),
             jax.ShapeDtypeStruct((B, num_kv_heads, Sq), jnp.bfloat16),
@@ -216,11 +267,11 @@ def fused_rmsnorm_qkv(
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Sq * H * (HqD + 2 * KD),
             bytes_accessed=H * (HqD + 2 * KD),
-            transcendentals=B * Sq * (num_heads + num_kv_heads) * head_dim,
+            transcendentals=0,
         ),
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
-        positions.astype(jnp.int32),
+        rope_cos, rope_sins,
         x, _v3(norm_w), wq, _v3(sq), wk, _v3(sk), wv, _v3(sv),
     )
 
@@ -239,14 +290,6 @@ def fused_o_mlp(
     B, Sq, H = x.shape
     HqD = attn_out.shape[-1]
     I = wg.shape[-1]
-
-    def _v3(t):  # (L, X) -> (L, 1, X); see fused_rmsnorm_qkv
-        return t.reshape(t.shape[0], 1, t.shape[-1])
-
-    def _vec_spec(X):
-        return pl.BlockSpec(
-            (1, 1, X), lambda i, li: (li[0], 0, 0), memory_space=pltpu.VMEM
-        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
