@@ -2,16 +2,25 @@
 without TPU hardware (mirrors how the reference simulates multi-node with
 local Ray actors, train/verl/tests/ray/).
 
+Hardware gate mode: VLA_RFT_TEST_TPU=1 keeps the real TPU platform and flips
+kernel tests from interpret mode to compiled Mosaic kernels (tests import
+INTERPRET from tests/kernel_mode.py).  tools/tpu_validate.sh phase 1 uses
+this so the "Mosaic lowering check" actually lowers through Mosaic — the
+round-2 bench blocker (decode_attention_hd shape-cast) was invisible to
+interpret-mode tests by construction.
+
 Note: the session sitecustomize pre-imports jax with JAX_PLATFORMS=axon (one
 real TPU chip), so we must switch the platform via jax.config.update — env
 vars alone are read too early.
 """
 import os
 
+from kernel_mode import ON_TPU
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not ON_TPU and "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_enable_fast_math" not in flags:
+if not ON_TPU and "xla_cpu_enable_fast_math" not in flags:
     # XLA:CPU fast-math miscompiles expf at huge-magnitude inputs for some
     # (batch, seqlen) vectorization shapes — deterministic all-NaN logits
     # in jitted programs while eager mode is clean (see ops/attention.py
@@ -24,4 +33,5 @@ os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")

@@ -1,7 +1,7 @@
 """ops tests: masked stats (torch_functional parity), sampling, attention.
 
 Mirrors the role of train/verl/tests/gpu_utility/test_torch_functional.py.
-Pallas kernels run in interpret mode on CPU.
+Pallas kernels run in interpret mode on CPU; compiled on TPU (VLA_RFT_TEST_TPU=1).
 """
 import jax
 import jax.numpy as jnp
@@ -17,6 +17,8 @@ from vla_rft_tpu.ops.masked import (
     masked_whiten,
 )
 from vla_rft_tpu.ops.sampling import apply_top_p, sample_token
+
+from kernel_mode import INTERPRET
 
 
 def test_logprobs_from_logits():
@@ -124,7 +126,7 @@ def test_flash_matches_xla(causal):
     ref = attention(q, k, v, causal=causal, kv_lens=kv_lens, impl="xla")
     out = attention(
         q, k, v, causal=causal, kv_lens=kv_lens, impl="pallas",
-        block_q=32, block_k=32, interpret=True,
+        block_q=32, block_k=32, interpret=INTERPRET,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
@@ -134,7 +136,7 @@ def test_flash_unpadded_shapes_pad_internally():
     q, k, v = _rand_qkv(rng, Sq=50, Sk=77)
     ref = attention(q, k, v, causal=True, impl="xla")
     out = attention(
-        q, k, v, causal=True, impl="pallas", block_q=32, block_k=32, interpret=True
+        q, k, v, causal=True, impl="pallas", block_q=32, block_k=32, interpret=INTERPRET
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
@@ -152,7 +154,7 @@ def test_flash_q_offset_chunked_decode():
     off = jnp.full((B,), 32, jnp.int32)
     out = attention(
         chunk, k, v, causal=True, q_offset=off, impl="pallas",
-        block_q=32, block_k=32, interpret=True,
+        block_q=32, block_k=32, interpret=INTERPRET,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, 32:]), atol=2e-5, rtol=1e-4)
 
@@ -170,7 +172,7 @@ def test_flash_grad_matches_xla(causal):
         return jnp.sum(
             attention(
                 q, k, v, causal=causal, kv_lens=kv_lens, impl="pallas",
-                block_q=32, block_k=32, interpret=True,
+                block_q=32, block_k=32, interpret=INTERPRET,
             )
             ** 2
         )
@@ -188,7 +190,7 @@ def test_flash_kv_starts_left_padding():
     ref = attention(q, k, v, causal=True, kv_starts=starts, impl="xla")
     out = attention(
         q, k, v, causal=True, kv_starts=starts, impl="pallas",
-        block_q=32, block_k=32, interpret=True,
+        block_q=32, block_k=32, interpret=INTERPRET,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
     # row with left padding differs from unpadded attention
@@ -209,7 +211,7 @@ def test_decode_attention_kernel_matches_xla():
     kv_starts = jnp.asarray([0, 8])
     for li in range(L):
         out = decode_attention(
-            q, ck, cv, jnp.asarray(li), kv_lens, kv_starts, interpret=True
+            q, ck, cv, jnp.asarray(li), kv_lens, kv_starts, interpret=INTERPRET
         )
         k_all = jnp.swapaxes(ck[li], 1, 2)  # (B, S, Hkv, D)
         v_all = jnp.swapaxes(cv[li], 1, 2)
@@ -237,7 +239,7 @@ def test_fused_decode_attention_matches_xla():
 
     out, nck, ncv = fused_decode_attention(
         q, k_new, v_new, ck, cv, jnp.asarray(li), jnp.asarray(idx), kv_starts,
-        block_k=16, interpret=True,
+        block_k=16, interpret=INTERPRET,
     )
     # reference: DUS then full attention with kv_lens = idx+1
     k_t = jnp.swapaxes(k_new, 1, 2)[None]
@@ -273,7 +275,7 @@ def test_decode_attention_int8_close_to_f32():
     out = decode_attention(
         q, jnp.asarray(ki), jnp.asarray(vi), jnp.asarray(1), kv_lens,
         scales=(jnp.asarray(sk, jnp.float32), jnp.asarray(sv, jnp.float32)),
-        interpret=True,
+        interpret=INTERPRET,
     )
     # f32 reference on the DEQUANTIZED cache
     k_all = jnp.swapaxes(jnp.asarray(ki[1] * sk[1][..., None], jnp.float32), 1, 2)
@@ -301,10 +303,10 @@ def test_decode_attention_packed_matches_unpacked():
     np.testing.assert_allclose(np.asarray(unpack_kv_heads(pck)), np.asarray(ck))
     for li in range(L):
         ref = decode_attention(
-            q, ck, cv, jnp.asarray(li), kv_lens, kv_starts, interpret=True
+            q, ck, cv, jnp.asarray(li), kv_lens, kv_starts, interpret=INTERPRET
         )
         out = decode_attention(
-            q, pck, pcv, jnp.asarray(li), kv_lens, kv_starts, interpret=True
+            q, pck, pcv, jnp.asarray(li), kv_lens, kv_starts, interpret=INTERPRET
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
@@ -326,11 +328,11 @@ def test_decode_attention_packed_int8():
     scales = (jnp.asarray(sk, jnp.float32), jnp.asarray(sv, jnp.float32))
     ref = decode_attention(
         q, jnp.asarray(ki), jnp.asarray(vi), jnp.asarray(1), kv_lens,
-        scales=scales, interpret=True,
+        scales=scales, interpret=INTERPRET,
     )
     out = decode_attention(
         q, pack_kv_heads(jnp.asarray(ki)), pack_kv_heads(jnp.asarray(vi)),
-        jnp.asarray(1), kv_lens, scales=scales, interpret=True,
+        jnp.asarray(1), kv_lens, scales=scales, interpret=INTERPRET,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
 
@@ -347,11 +349,11 @@ def test_decode_attention_block_b_variants():
     kv_lens = jnp.asarray([40, 64, 17, 50])
     kv_starts = jnp.asarray([0, 8, 0, 3])
     ref = decode_attention(
-        q, ck, cv, jnp.asarray(1), kv_lens, kv_starts, interpret=True, block_b=1
+        q, ck, cv, jnp.asarray(1), kv_lens, kv_starts, interpret=INTERPRET, block_b=1
     )
     for bb in (2, 4):
         out = decode_attention(
-            q, ck, cv, jnp.asarray(1), kv_lens, kv_starts, interpret=True, block_b=bb
+            q, ck, cv, jnp.asarray(1), kv_lens, kv_starts, interpret=INTERPRET, block_b=bb
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
@@ -376,7 +378,7 @@ def test_decode_attention_shared_matches_concat_xla():
         for li in range(L):
             out = decode_attention_shared(
                 q, ck, cv, sck, scv, jnp.asarray(li), own_lens, pm,
-                shared_valid=shared_valid, interpret=True,
+                shared_valid=shared_valid, interpret=INTERPRET,
             )
             # reference: gather + slice + concat, masked attention
             k_sh = jnp.take(sck[li], pm, axis=0)[:, :, :shared_valid]
@@ -414,7 +416,7 @@ def test_decode_attention_shared_starts_left_padding():
         for li in range(L):
             out = decode_attention_shared(
                 q, ck, cv, sck, scv, jnp.asarray(li), own_lens, pm,
-                shared_valid=shared_valid, interpret=True,
+                shared_valid=shared_valid, interpret=INTERPRET,
                 shared_starts=starts, block_b=2,
             )
             k_sh = jnp.take(sck[li], pm, axis=0)[:, :, :shared_valid]
@@ -465,7 +467,7 @@ def test_decode_attention_shared_packed_int8():
         jnp.asarray(li), own_lens, pm, shared_valid=shared_valid,
         scales=(jnp.asarray(oks, jnp.float32), jnp.asarray(ovs, jnp.float32)),
         shared_scales=(jnp.asarray(sks, jnp.float32), jnp.asarray(svs, jnp.float32)),
-        interpret=True,
+        interpret=INTERPRET,
     )
     # f32 reference on dequantized caches
     k_sh = jnp.asarray(ski[li] * sks[li][..., None], jnp.float32)[pm]
@@ -500,12 +502,12 @@ def test_decode_attention_shared_block_b():
     own_lens = jnp.asarray([1, 5, 9, 13, 17, 21, 25, 32], jnp.int32)
     ref = decode_attention_shared(
         q, ck, cv, sck, scv, jnp.asarray(1), own_lens, pm, shared_valid=40,
-        interpret=True, block_b=1,
+        interpret=INTERPRET, block_b=1,
     )
     for bb in (2, 4):
         out = decode_attention_shared(
             q, ck, cv, sck, scv, jnp.asarray(1), own_lens, pm, shared_valid=40,
-            interpret=True, block_b=bb,
+            interpret=INTERPRET, block_b=bb,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
@@ -527,7 +529,7 @@ def test_decode_attention_shared_block_b():
         shared_valid=40,
         scales=(jnp.asarray(oks, jnp.float32), jnp.asarray(ovs, jnp.float32)),
         shared_scales=(jnp.asarray(sks, jnp.float32), jnp.asarray(svs, jnp.float32)),
-        interpret=True,
+        interpret=INTERPRET,
     )
     ref8 = decode_attention_shared(*args, **kw, block_b=1)
     out8 = decode_attention_shared(*args, **kw, block_b=4)
@@ -551,13 +553,13 @@ def test_decode_attention_shared_row_chunk():
     own_lens = jnp.asarray([1, 5, 9, 13, 17, 21, 25, 32], jnp.int32)
     ref = decode_attention_shared(
         q, ck, cv, sck, scv, jnp.asarray(1), own_lens, pm, shared_valid=40,
-        interpret=True, block_b=1,
+        interpret=INTERPRET, block_b=1,
     )
     # block_b must not span prefix groups (4 rows per prefix here)
     for bb, rc in ((4, 1), (4, 2)):
         out = decode_attention_shared(
             q, ck, cv, sck, scv, jnp.asarray(1), own_lens, pm, shared_valid=40,
-            interpret=True, block_b=bb, row_chunk=rc,
+            interpret=INTERPRET, block_b=bb, row_chunk=rc,
         )
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-6, err_msg=f"bb={bb} rc={rc}"
@@ -566,12 +568,12 @@ def test_decode_attention_shared_row_chunk():
     pm0 = jnp.zeros((B,), jnp.int32)
     ref_one = decode_attention_shared(
         q, ck, cv, sck[:, :1], scv[:, :1], jnp.asarray(1), own_lens, pm0,
-        shared_valid=40, interpret=True, block_b=1,
+        shared_valid=40, interpret=INTERPRET, block_b=1,
     )
     for bb, rc in ((8, 2), (8, 4)):
         out = decode_attention_shared(
             q, ck, cv, sck[:, :1], scv[:, :1], jnp.asarray(1), own_lens, pm0,
-            shared_valid=40, interpret=True, block_b=bb, row_chunk=rc,
+            shared_valid=40, interpret=INTERPRET, block_b=bb, row_chunk=rc,
         )
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref_one), atol=1e-6, err_msg=f"bb={bb} rc={rc}"
@@ -594,7 +596,7 @@ def test_decode_attention_shared_row_chunk():
         shared_valid=40,
         scales=(jnp.asarray(oks, jnp.float32), jnp.asarray(ovs, jnp.float32)),
         shared_scales=(jnp.asarray(sks, jnp.float32), jnp.asarray(svs, jnp.float32)),
-        interpret=True,
+        interpret=INTERPRET,
     )
     ref8 = decode_attention_shared(*args, **kw, block_b=1)
     for bb, rc in ((4, 2), (4, 1)):
@@ -619,10 +621,10 @@ def test_decode_attention_shared_sq_row_chunk():
     own_lens = jnp.asarray([4, 12, 20, 32], jnp.int32)
     ref = decode_attention_shared(
         q, ck, cv, sck, scv, jnp.asarray(1), own_lens, pm, shared_valid=40,
-        interpret=True, block_b=1,
+        interpret=INTERPRET, block_b=1,
     )
     out = decode_attention_shared(
         q, ck, cv, sck, scv, jnp.asarray(1), own_lens, pm, shared_valid=40,
-        interpret=True, block_b=2, row_chunk=1,
+        interpret=INTERPRET, block_b=2, row_chunk=1,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -11,6 +11,8 @@ import pytest
 from vla_rft_tpu.models.transformer import Decoder, TransformerConfig
 from vla_rft_tpu.workers.wm_rollout import WMRolloutConfig, generate_sequences
 
+from kernel_mode import INTERPRET
+
 
 def _mk(kv_layout, kv_dtype):
     cfg = TransformerConfig(
@@ -153,7 +155,7 @@ def test_decode_step_fused_parity(shared):
         qparams, tok, cache=cache, cache_index=P, **kw
     )
     out_logits, _, out_cache = decode_step_fused(
-        wm, qparams, tok, cache, jnp.int32(P), interpret=True, **kw
+        wm, qparams, tok, cache, jnp.int32(P), interpret=INTERPRET, **kw
     )
 
     # layer-0 cache writes bit-equal at the written position (identical

@@ -27,8 +27,14 @@ run() {  # run <name> <timeout_s> <cmd...>
 run devices 300 python -c "import jax; print(jax.devices())"
 
 # 1. new kernels compile+run on real hardware at test shapes (Mosaic
-#    lowering check — jnp.repeat/concat patterns in decode_attention_hd)
-run kernels_hd 1200 python -m pytest tests/test_ops_hd.py -x -q
+#    lowering check).  VLA_RFT_TEST_TPU=1 flips tests/kernel_mode.py from
+#    interpret mode to compiled kernels — without it this phase cannot see
+#    lowering failures (the round-2 blocker).  production_shape = the exact
+#    WM shapes (Hkv=16, D=64, Sq 1/7/8, int8+bf16, shared+plain).
+run kernels_hd 1200 env VLA_RFT_TEST_TPU=1 \
+    python -m pytest tests/test_ops_hd.py -x -q -k production_shape
+run kernels_flash 1800 env VLA_RFT_TEST_TPU=1 \
+    python -m pytest tests/test_ops.py -x -q -k "flash or decode"
 
 # 2. decode microbench A/B: layouts, block sizes, fused step
 run wm_hd_bb17 1800 python tools/wm_decode_bench.py --segs 4 --batch 68 \
