@@ -426,3 +426,63 @@ def test_geo3k_scorer():
         '{"inputs": ["1\\n"], "outputs": ["2\\n"]}',
     )
     assert s == 1.0
+
+
+def test_prime_math_scorer():
+    """sympy-based grader (reference prime_math/__init__.py:408-430 tuple
+    contract + grader.py equivalence tiers)."""
+    from vla_rft_tpu.utils.reward_score import prime_math
+
+    # boxed + exact
+    ok, fmt, ext = prime_math.compute_score("thus \\boxed{42}", "42")
+    assert ok and ext == "42"
+    # answer-marker extraction
+    ok, _, _ = prime_math.compute_score("The answer is 1,234.", "1234")
+    assert ok
+    # fraction vs decimal, latex frac vs plain
+    assert prime_math.compute_score("\\boxed{\\frac{1}{2}}", "0.5")[0]
+    assert prime_math.compute_score("\\boxed{0.5}", "1/2")[0]
+    # symbolic equivalence through sympy
+    assert prime_math.compute_score("answer: 2*(3+4)", "14")[0]
+    assert prime_math.compute_score("\\boxed{\\sqrt{4}}", "2")[0]
+    # pi substitution variants
+    assert prime_math.compute_score("\\boxed{2\\pi}", "6.28")[0]
+    # units stripped
+    assert prime_math.compute_score("\\boxed{5 \\text{ cm}}", "5")[0]
+    # tuples element-wise
+    assert prime_math.compute_score("\\boxed{(1, 2)}", "(1,2)")[0]
+    assert not prime_math.compute_score("\\boxed{(1, 2)}", "(1,3)")[0]
+    # wrong / missing answers
+    assert not prime_math.compute_score("\\boxed{41}", "42")[0]
+    assert not prime_math.compute_score("no digits here", "42")[0]
+    # format flag requires the Step 2 + boxed template
+    assert prime_math.compute_score("Step 2: thus \\boxed{7}", "7")[1]
+    assert not prime_math.compute_score("\\boxed{7}", "7")[1]
+
+
+def test_math_verify_scorer_and_registry():
+    """Native math-verify analog + un-aliased registry entries."""
+    from vla_rft_tpu.utils.reward_score import (
+        _REGISTRY,
+        default_compute_score,
+        math_verify,
+    )
+
+    assert _REGISTRY["math_verify"] == "math_verify"  # no longer math_dapo
+    assert _REGISTRY["prime_math"] == "prime_math"
+    assert math_verify.compute_score("The answer is $\\frac{1}{2}$", "1/2") == 1.0
+    assert math_verify.compute_score("so we get \\boxed{3.5}", "7/2") == 1.0
+    assert math_verify.compute_score("equals 14", "2*(3+4)") == 1.0
+    assert math_verify.compute_score("\\boxed{41}", "42") == 0.0
+    assert math_verify.compute_score("nothing numeric", "42") == 0.0
+    assert default_compute_score("math_verify", "\\boxed{9}", "9") == 1.0
+    assert default_compute_score("numina_synthetic_math", "answer: 8", "8") == 1.0
+
+
+def test_compute_score_with_info_pred_channel():
+    from vla_rft_tpu.utils.reward_score import compute_score_with_info
+
+    score, info = compute_score_with_info("prime_math", "thus \\boxed{42}", "42")
+    assert score == 1.0 and info["pred"] == "42"
+    score, info = compute_score_with_info("openai/gsm8k", "x #### 7", "7")
+    assert score == 1.0 and info == {}

@@ -449,17 +449,67 @@ class PPOTrainer:
         metrics.update(timing_metrics(timing))
         return metrics
 
+    # ---------------------------------------------------------------- validate
+    def validate(self, rng: Optional[jax.Array] = None) -> Dict[str, float]:
+        """_validate parity (ray_trainer.py:516-612): sample each val prompt
+        val_kwargs.n times, score with the rule scorers, and aggregate the
+        bootstrap best/worst-of-n + majority-vote families per data source
+        (process_validation_metrics, metric_utils.py:209-279)."""
+        from vla_rft_tpu.trainer.metric_utils import (
+            flatten_validation_metrics,
+            process_validation_metrics,
+        )
+        from vla_rft_tpu.utils.reward_score import compute_score_with_info, has_scorer
+
+        cfg = self.config
+        ds = getattr(self, "val_dataset", None) or self.dataset
+        vk = cfg.actor_rollout_ref.rollout.get("val_kwargs", None)
+        n = int(vk.get("n", 1)) if vk is not None else 1
+        rng = rng if rng is not None else jax.random.key(self._seed + 99)
+
+        batch = ds.sample_batch(cfg.data.get("val_batch_size", cfg.data.train_batch_size))
+        prompts = jnp.repeat(jnp.asarray(batch["input_ids"], jnp.int32), n, axis=0)
+        gen = self._gen(self.actor_params, rng, prompts)
+        resp = np.asarray(gen["responses"])
+        resp_mask = np.asarray(gen["response_mask"])
+
+        sources = [s for s in batch["data_sources"] for _ in range(n)]
+        gts = [g for g in batch["ground_truths"] for _ in range(n)]
+        sample_inputs = [
+            self.tokenizer.decode(np.asarray(batch["input_ids"][i]).tolist())
+            for i in range(len(batch["input_ids"]))
+            for _ in range(n)
+        ]
+        infos: Dict[str, list] = {"score": [], "pred": []}
+        for i in range(len(sources)):
+            nv = int(resp_mask[i].sum())
+            text = self.tokenizer.decode(resp[i, :nv].tolist()) if nv else ""
+            if has_scorer(sources[i]):
+                score, info = compute_score_with_info(sources[i], text, gts[i])
+            else:
+                score, info = 0.0, {}
+            infos["score"].append(score)
+            infos["pred"].append(info.get("pred", text.strip()[-40:]))
+        per_src = process_validation_metrics(sources, sample_inputs, infos)
+        out = flatten_validation_metrics(per_src)
+        out["val/test_score/mean"] = float(np.mean(infos["score"]))
+        return out
+
     def fit(self, logger: Optional[Tracking] = None):
         cfg = self.config
         logger = logger or Tracking(
             cfg.trainer.project_name, cfg.trainer.experiment_name, cfg.trainer.logger
         )
         rng = jax.random.key(self._seed + 7)
+        test_freq = cfg.trainer.get("test_freq", -1)
         self.global_steps = 1
         while self.global_steps <= cfg.trainer.total_training_steps:
             batch = self.dataset.sample_batch(cfg.data.train_batch_size)
             rng, sub = jax.random.split(rng)
             metrics = self.training_step(batch, sub)
+            if test_freq > 0 and self.global_steps % test_freq == 0:
+                rng, vrng = jax.random.split(rng)
+                metrics.update(self.validate(vrng))
             logger.log(metrics, self.global_steps)
             self.global_steps += 1
         logger.finish()

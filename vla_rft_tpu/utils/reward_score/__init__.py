@@ -14,7 +14,15 @@ _REGISTRY = {
     "DigitalLearningGmbH/MATH-lighteval": "math",
     "math_dapo": "math_dapo",
     "aime2024": "math_dapo",
-    "math_verify": "math_dapo",
+    "math_verify": "math_verify",
+    # numina sources dispatch to the sympy grader (reference __init__.py:35-40)
+    "prime_math": "prime_math",
+    "numina_aops_forum": "prime_math",
+    "numina_synthetic_math": "prime_math",
+    "numina_amc_aime": "prime_math",
+    "numina_synthetic_amc": "prime_math",
+    "numina_cn_k12": "prime_math",
+    "numina_olympiads": "prime_math",
     "gpqa": "gpqa",
     "Idavidrein/gpqa": "gpqa",
     "hiyouga/geometry3k": "geo3k",
@@ -52,3 +60,29 @@ def default_compute_score(
     if isinstance(res, (int, float, bool)):
         return float(res)
     return float(res[0])
+
+
+def compute_score_with_info(
+    data_source: str, solution_str: str, ground_truth: str, extra_info=None
+) -> tuple:
+    """Like default_compute_score but keeps the scorer's side channel:
+    returns (score, info_dict).  info_dict carries 'pred' (the extracted
+    answer string) when the scorer exposes one — the majority-vote key the
+    validation metrics need (reference metric_utils.py:193-207)."""
+    mod_name = _REGISTRY.get(data_source)
+    if mod_name is None:
+        raise NotImplementedError(f"no scorer for data source {data_source!r}")
+    mod = importlib.import_module(f"vla_rft_tpu.utils.reward_score.{mod_name}")
+    if mod_name == "prime_code":
+        res = mod.compute_score(solution_str, ground_truth, continuous=True)
+    else:
+        res = mod.compute_score(solution_str, ground_truth)
+    if isinstance(res, dict):
+        info = {k: v for k, v in res.items() if k != "score"}
+        return float(res["score"]), info
+    if isinstance(res, (int, float, bool)):
+        return float(res), {}
+    info = {}
+    if mod_name == "prime_math" and len(res) >= 3:
+        info = {"format_correct": bool(res[1]), "pred": str(res[2])}
+    return float(res[0]), info
