@@ -186,11 +186,13 @@ def convert_openvla(sd: Dict[str, Any], vla_cfg) -> Dict:
     proj_keys = {"fc1", "fc2", "fc3"}
     params: Dict[str, Any] = {
         "vision_backbone": {
+            # featurizer = timm_model_ids[0] = DINOv2; fused = SigLIP
+            # (configuration_prismatic.py:36, modeling_prismatic.py:103-113)
             "featurizer": convert_timm_vit(
-                sd, vla_cfg.siglip, prefix="vision_backbone.featurizer."
+                sd, vla_cfg.dino, prefix="vision_backbone.featurizer."
             ),
             "fused_featurizer": convert_timm_vit(
-                sd, vla_cfg.dino, prefix="vision_backbone.fused_featurizer."
+                sd, vla_cfg.siglip, prefix="vision_backbone.fused_featurizer."
             ),
         },
         "projector": {

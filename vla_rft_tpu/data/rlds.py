@@ -418,7 +418,7 @@ class RLDSDataset:
             if self.image_aug:
                 frame0 = augment_image(frame0, rng)
             img = _resize(frame0, cfg.policy_image_size).astype(np.float32) / 255.0
-            pix.append(np.concatenate([img, img], axis=-1))  # siglip|dino stacks
+            pix.append(np.concatenate([img, img], axis=-1))  # dino|siglip stacks
             raw.append(_resize_frames(w["frames"], cfg.wm_image_size))
             prop.append(
                 normalize_bounds_q99(w["proprio"], self.stats["proprio"])

@@ -3,9 +3,9 @@
 Flax re-implementation of the reference's policy
 (prismatic/extern/hf/modeling_prismatic.py):
 
-* PrismaticVisionBackbone (:70-231): fused SigLIP-so400m + DINOv2-large
-  towers over a channel-stacked 6-channel image, features concatenated on the
-  hidden dim -> (B, 256, 2176).
+* PrismaticVisionBackbone (:70-231): fused DINOv2-large + SigLIP-so400m
+  towers over a channel-stacked 6-channel image (dino = channels 0:3,
+  siglip = 3:6), features concatenated on the hidden dim -> (B, 256, 2176).
 * PrismaticProjector (:234-266): fused MLP 2176 -> 4*2176 -> 896 -> 896.
 * PrismaticForConditionalGeneration 'v1' semantics (:588-707): action-token
   embeddings replaced by 64 learned `action_queries` (:642-651), vision
@@ -53,7 +53,7 @@ class OpenVLAConfig:
 
     @property
     def vision_dim(self) -> int:
-        return self.siglip.hidden_size + self.dino.hidden_size
+        return self.dino.hidden_size + self.siglip.hidden_size
 
     @staticmethod
     def tiny_test() -> "OpenVLAConfig":
@@ -83,13 +83,16 @@ class PrismaticVisionBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
-        """pixel_values: (B, H, W, 6) float in [0,1], channels = siglip|dino
-        stacks (modeling_prismatic.py:203-207). Returns (B, P, 2176)."""
-        img_s = normalize_images(pixel_values[..., 0:3], self.cfg.siglip)
-        img_d = normalize_images(pixel_values[..., 3:6], self.cfg.dino)
-        p_s = ViT(self.cfg.siglip, name="featurizer")(img_s)
-        p_d = ViT(self.cfg.dino, name="fused_featurizer")(img_d)
-        return jnp.concatenate([p_s, p_d], axis=-1)
+        """pixel_values: (B, H, W, 6) float in [0,1], channels = dino|siglip
+        stacks (modeling_prismatic.py:199-206: `featurizer` is
+        timm_model_ids[0] = DINOv2 on channels 0:3, `fused_featurizer` is
+        SigLIP on 3:6; features concatenated [dino, siglip]).
+        Returns (B, P, 2176)."""
+        img_d = normalize_images(pixel_values[..., 0:3], self.cfg.dino)
+        img_s = normalize_images(pixel_values[..., 3:6], self.cfg.siglip)
+        p_d = ViT(self.cfg.dino, name="featurizer")(img_d)
+        p_s = ViT(self.cfg.siglip, name="fused_featurizer")(img_s)
+        return jnp.concatenate([p_d, p_s], axis=-1)
 
 
 class PrismaticProjector(nn.Module):

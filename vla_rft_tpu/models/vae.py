@@ -152,13 +152,15 @@ class CrossAttentionBlock2D(nn.Module):
     def __call__(self, z, addin):
         # z: (B, H, W, C); addin: (B, H, W, C) context features (kv_frames=1)
         B, H, W, C = z.shape
-        kv = nn.GroupNorm(num_groups=self.groups, name="kv_norm", dtype=self.dtype)(addin).reshape(B, -1, C)
+        # torch nn.GroupNorm default eps is 1e-5 (conditional_vae.py:26-27),
+        # unlike the diffusers blocks' explicit 1e-6
+        kv = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="kv_norm", dtype=self.dtype)(addin).reshape(B, -1, C)
         kv_pos = self.param(
             "kv_pos_emb", nn.initializers.zeros,
             (self.kv_frames * self.resolution * self.resolution, C), jnp.float32,
         )
         kv = kv + kv_pos.astype(kv.dtype)
-        q = nn.GroupNorm(num_groups=self.groups, name="q_norm", dtype=self.dtype)(z).reshape(B, -1, C)
+        q = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="q_norm", dtype=self.dtype)(z).reshape(B, -1, C)
         q_pos = self.param(
             "q_pos_emb", nn.initializers.zeros,
             (self.resolution * self.resolution, C), jnp.float32,

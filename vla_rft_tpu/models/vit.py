@@ -61,11 +61,14 @@ class ViTConfig:
     @staticmethod
     def dinov2_large_reg4(**kw) -> "ViTConfig":
         """timm vit_large_patch14_reg4_dinov2: 1024d/24L/16H, cls + 4 reg,
-        LayerScale; imagenet normalization."""
+        LayerScale; imagenet normalization.  timm defines this model with
+        no_embed_class=True (pos embed covers PATCHES ONLY; cls/reg tokens get
+        no pos embed — the dinov2 checkpoint's cls pos embed is folded into
+        cls_token by timm's _convert_dinov2), hence pos_embed_prefix=False."""
         d = dict(
             hidden_size=1024, depth=24, num_heads=16, mlp_dim=4096,
             class_token=True, reg_tokens=4, num_prefix_tokens=5,
-            layerscale=True, pos_embed_prefix=True,
+            layerscale=True, pos_embed_prefix=False,
             mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
         )
         d.update(kw)

@@ -136,8 +136,8 @@ class VLAAdapterSFTTrainer:
             path = jax.tree_util.keystr(path_leaf)
             if path.startswith("['expert']"):
                 return "expert"
-            # module names from models/prismatic.py: 'featurizer' (SigLIP),
-            # 'fused_featurizer' (DINOv2), 'language_model' (Qwen backbone)
+            # module names from models/prismatic.py: 'featurizer' (DINOv2),
+            # 'fused_featurizer' (SigLIP), 'language_model' (Qwen backbone)
             if freeze_vision_backbone and "featurizer" in path:
                 return "frozen"
             if freeze_llm and "language_model" in path:
