@@ -72,12 +72,24 @@ def main():
         return 0.5 * jax.random.normal(key, (8, 7)) + 0.0 * feat
 
     calls = {"n": 0}
+    lat = []
 
     def jitted_chunk(obs):
         calls["n"] += 1
+        t0 = time.time()
         img = jnp.asarray(obs["full_image"], jnp.float32) / 255.0
         pr = jnp.asarray(obs["proprio"], jnp.float32)
-        return np.asarray(policy(jax.random.key(calls["n"]), img, pr))
+        out = np.asarray(policy(jax.random.key(calls["n"]), img, pr))
+        lat.append(time.time() - t0)
+        return out
+
+    # warm the jit outside the measured loop so call latencies are
+    # steady-state serving numbers, not compile time
+    t0 = time.time()
+    jitted_chunk({"full_image": np.zeros((128, 128, 3), np.uint8),
+                  "proprio": np.zeros(8, np.float32)})
+    compile_s = time.time() - t0
+    calls["n"], lat[:] = 0, []
 
     cfg_rand = GenerateConfig(
         task_suite_name="libero_spatial",
@@ -112,6 +124,12 @@ def main():
             "success_rate": rand_metrics["success_rate"],
             "policy_calls": calls["n"],
             "wall_s": round(t_rand, 1),
+            "compile_s": round(compile_s, 2),
+            "policy_call_ms": {
+                "median": round(float(np.median(lat)) * 1e3, 1),
+                "p90": round(float(np.percentile(lat, 90)) * 1e3, 1),
+                "max": round(float(max(lat)) * 1e3, 1),
+            } if lat else None,
         },
         "gifs": sorted(os.listdir(video_dir)) if os.path.isdir(video_dir) else [],
     }
