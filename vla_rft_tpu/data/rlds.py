@@ -188,6 +188,9 @@ class _EpisodeStream:
         self.file_i = 0
         self.ep_i = 0
         self._rec_iter = None
+        # per-dataset standardization hook (OXE transforms.py analog);
+        # set by data/oxe.py mixture components, identity otherwise
+        self.episode_transform: Optional[Callable[[Dict[str, Any]], Dict[str, Any]]] = None
 
     def _file_order(self) -> np.ndarray:
         order = np.arange(len(self.files))
@@ -214,7 +217,10 @@ class _EpisodeStream:
             self.ep_i += 1
             if self.ep_filter is not None and not self.ep_filter(idx):
                 continue
-            return _decode_example(raw, self.cfg)
+            ep = _decode_example(raw, self.cfg)
+            if self.episode_transform is not None:
+                ep = self.episode_transform(ep)
+            return ep
 
     def state_dict(self) -> Dict[str, int]:
         return {"epoch": self.epoch, "file_i": self.file_i, "ep_i": self.ep_i}
@@ -391,51 +397,78 @@ class RLDSDataset:
                 break
 
     # ----------------------------------------------------------------- batches
-    def next_batch(self) -> Dict[str, np.ndarray]:
-        from vla_rft_tpu.data.prompting import build_vla_sample, pad_collate
+    def draw_windows(self, n: int, rng: np.random.Generator) -> List[Dict[str, Any]]:
+        """Draw n reservoir-shuffled windows, each tagged with this dataset's
+        normalization stats (mixture components normalize independently —
+        reference rlds/dataset.py applies per-dataset stats before
+        interleaving)."""
+        self._fill_buffer()
+        out = []
+        for _ in range(n):
+            idx = int(rng.integers(len(self._buffer)))
+            w = self._buffer[idx]
+            self._buffer[idx] = self._next_window()
+            out.append({**w, "stats": self.stats})
+        return out
 
+    def next_batch(self) -> Dict[str, np.ndarray]:
         self._step += 1
         cfg = self.cfg
         # all per-batch randomness (reservoir draws, augmentation) derives
         # from (seed, process, step): exactly resumable, distinct per host
         rng = np.random.default_rng((cfg.seed, self._pi, self._step))
-        self._fill_buffer()
+        windows = self.draw_windows(self.batch_size, rng)
+        return assemble_vla_batch(
+            windows, self.tokenizer, cfg, rng,
+            pad_token_id=self.pad_token_id, max_seq_len=self.max_seq_len,
+            image_aug=self.image_aug,
+        )
 
-        samples, metas = [], []
-        for _ in range(self.batch_size):
-            idx = int(rng.integers(len(self._buffer)))
-            w = self._buffer[idx]
-            self._buffer[idx] = self._next_window()
-            actions = normalize_bounds_q99(w["actions"], self.stats["action"])
-            s = build_vla_sample(self.tokenizer, w["lang"], actions)
-            samples.append(s)
-            metas.append((w, actions))
-        coll = pad_collate(samples, self.pad_token_id, self.max_seq_len)
 
-        pix, raw, prop, acts = [], [], [], []
-        for w, actions in metas:
-            frame0 = w["frames"][0]
-            if self.image_aug:
-                frame0 = augment_image(frame0, rng)
-            img = _resize(frame0, cfg.policy_image_size).astype(np.float32) / 255.0
-            pix.append(np.concatenate([img, img], axis=-1))  # dino|siglip stacks
-            raw.append(_resize_frames(w["frames"], cfg.wm_image_size))
-            prop.append(
-                normalize_bounds_q99(w["proprio"], self.stats["proprio"])
-                if "proprio" in self.stats
-                else w["proprio"]
-            )
-            acts.append(actions)
-        return {
-            "pixel_values": np.stack(pix).astype(np.float32),
-            "raw_pixel_values": np.stack(raw).astype(np.uint8),
-            "proprio": np.stack(prop).astype(np.float32),
-            "actions": np.stack(acts).astype(np.float32),
-            **coll,
-            "input_ids": coll["input_ids"].astype(np.int32),
-            "attention_mask": coll["attention_mask"].astype(np.int32),
-            "labels": coll["labels"].astype(np.int32),
-        }
+def assemble_vla_batch(
+    windows: List[Dict[str, Any]],
+    tokenizer,
+    cfg: RLDSConfig,
+    rng: np.random.Generator,
+    pad_token_id: int = 151643,
+    max_seq_len: int = 96,
+    image_aug: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Windows (each carrying its own normalization stats) -> trainer batch.
+    Shared by the single-dataset and weighted-mixture paths."""
+    from vla_rft_tpu.data.prompting import build_vla_sample, pad_collate
+
+    samples, metas = [], []
+    for w in windows:
+        actions = normalize_bounds_q99(w["actions"], w["stats"]["action"])
+        samples.append(build_vla_sample(tokenizer, w["lang"], actions))
+        metas.append((w, actions))
+    coll = pad_collate(samples, pad_token_id, max_seq_len)
+
+    pix, raw, prop, acts = [], [], [], []
+    for w, actions in metas:
+        frame0 = w["frames"][0]
+        if image_aug:
+            frame0 = augment_image(frame0, rng)
+        img = _resize(frame0, cfg.policy_image_size).astype(np.float32) / 255.0
+        pix.append(np.concatenate([img, img], axis=-1))  # dino|siglip stacks
+        raw.append(_resize_frames(w["frames"], cfg.wm_image_size))
+        prop.append(
+            normalize_bounds_q99(w["proprio"], w["stats"]["proprio"])
+            if "proprio" in w["stats"]
+            else w["proprio"]
+        )
+        acts.append(actions)
+    return {
+        "pixel_values": np.stack(pix).astype(np.float32),
+        "raw_pixel_values": np.stack(raw).astype(np.uint8),
+        "proprio": np.stack(prop).astype(np.float32),
+        "actions": np.stack(acts).astype(np.float32),
+        **coll,
+        "input_ids": coll["input_ids"].astype(np.int32),
+        "attention_mask": coll["attention_mask"].astype(np.int32),
+        "labels": coll["labels"].astype(np.int32),
+    }
 
 
 def make_episode_example(
