@@ -56,6 +56,12 @@ def main():
     ap.add_argument("--churn", type=float, default=0.1)
     ap.add_argument("--spec-k", type=int, default=5)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument(
+        "--train-batch", type=int, default=0,
+        help="training batch (0 = min(batch, 16): the batch-64 adamw train "
+        "step OOMs v5e-1 HBM at 38.8G — only the ROLLOUT needs the big "
+        "batch for the >=64-row crash re-probe)",
+    )
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--ctx-len", type=int, default=128)
     ap.add_argument("--tokens-per-frame", type=int, default=64)
@@ -79,6 +85,7 @@ def main():
     rng = np.random.default_rng(0)
 
     B, F, Vt, A = args.batch, args.frames, args.tokens_per_frame, 7
+    Bt = args.train_batch or min(B, 16)
     ctx_len = args.ctx_len
     prompt_len = ctx_len + Vt + A  # ctx + frame_0 dyn + first action chunk
 
@@ -118,7 +125,7 @@ def main():
             # FRESH batch each step: a fixed pool gets memorized (loss far
             # below the churn-entropy floor) and generalizes nothing
             ids = jnp.asarray(
-                make_batch(rng, B, ctx_len, F + 1, Vt, A, args.churn), jnp.int32
+                make_batch(rng, Bt, ctx_len, F + 1, Vt, A, args.churn), jnp.int32
             )
             params, opt, loss = step(params, opt, ids)
             if it % 50 == 0 or it == args.train_steps - 1:

@@ -163,9 +163,16 @@ def run_episode(
     max_steps: int,
     initial_state=None,
     video_tag: Optional[str] = None,
+    task_description: Optional[str] = None,
 ) -> bool:
     """Episode loop with the open-loop action queue
-    (run_libero_eval.py:281-366)."""
+    (run_libero_eval.py:281-366).
+
+    When `task_description` is given the policy is called as
+    `get_action_chunk(observation, task_description)` — the reference
+    prompts the VLA with the task language (run_libero_eval.py:330,
+    get_vla_action's task_label arg); single-arg policies (tests, scripted
+    experts) keep working with task_description=None."""
     env.reset()
     if initial_state is not None:
         obs = env.set_init_state(initial_state)
@@ -188,7 +195,10 @@ def run_episode(
         if record and "full_image" in observation:
             replay.append(observation["full_image"])
         if len(action_queue) == 0:
-            chunk = get_action_chunk(observation)  # (num_open_loop_steps, 7)
+            if task_description is not None:
+                chunk = get_action_chunk(observation, task_description)
+            else:
+                chunk = get_action_chunk(observation)  # (chunk, 7)
             action_queue.extend(chunk)
         action = action_queue.popleft()
         obs, reward, done, info = env.step(np.asarray(action).tolist())
@@ -213,6 +223,14 @@ def run_suite_eval(
     max_steps = TASK_MAX_STEPS.get(cfg.task_suite_name, 300)
     total, success = 0, 0
     per_task: Dict[int, float] = {}
+    # policies that take the task language get it (reference behavior);
+    # single-arg scripted policies don't
+    import inspect
+
+    try:
+        accepts_task = len(inspect.signature(get_action_chunk).parameters) >= 2
+    except (TypeError, ValueError):
+        accepts_task = False
     for task_id in range(num_tasks):
         env, lang, init_states = env_factory(task_id)
         task_success = 0
@@ -221,6 +239,7 @@ def run_suite_eval(
             ok = run_episode(
                 env, get_action_chunk, cfg, max_steps, init,
                 video_tag=f"task{task_id}_ep{ep}",
+                task_description=lang if accepts_task else None,
             )
             task_success += int(ok)
             total += 1
