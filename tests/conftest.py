@@ -35,3 +35,26 @@ import jax  # noqa: E402
 
 if not ON_TPU:
     jax.config.update("jax_platforms", "cpu")
+
+
+# ---- fast/slow tiers -------------------------------------------------------
+# tests/slow_tests.txt lists every test >=6s on the CPU suite (measured
+# 2026-08-19: full suite 44m28s).  The fast tier `pytest -m "not slow"`
+# stays under ~3.5 min so it can gate every snapshot; run the full suite
+# (or `-m slow`) before perf claims / releases.  Unlisted tests default to
+# fast — regenerate the manifest from a `--durations=0` run when it drifts.
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+_SLOW_IDS = frozenset(
+    line.strip()
+    for line in (pathlib.Path(__file__).parent / "slow_tests.txt").read_text().splitlines()
+    if line.strip() and not line.startswith("#")
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)

@@ -49,14 +49,9 @@ def validate_config(config, n_devices: int = 1) -> List[str]:
             f"verify chunks past the decode kernel's Sq<=8 fast path (falls "
             f"back to the slow XLA gather route on TPU)"
         )
-    if spec_k > 0 and int(wm_roll.get("micro_batch_size", 0) or 0) > 16:
-        problems.append(
-            "speculative_k with wm micro_batch_size > 16: the full-size "
-            "speculative rollout crashed the current axon TPU runtime at "
-            ">=64 rows/call (every component passes in isolation; tracked "
-            "in DESIGN_NOTES round-2 backlog) — use <=16 rows per decode "
-            "call until the runtime issue is resolved"
-        )
+    # (round 2 flagged speculative_k + micro_batch_size > 16 after a TPU
+    # runtime crash at >=64 rows/call; re-probed clean with the bounded-exp
+    # kernels — artifacts/SPEC_r3_b64.log — so the restriction is lifted.)
     # wm micro_batch_size no longer needs n-alignment: run_wm rounds each
     # chunk down to whole prefix groups (n, or n+1 with the interleaved gt
     # row) itself — but it must at least cover one group

@@ -545,17 +545,13 @@ class VLARFTGRPOTrainer:
                 # yaml:224)
                 with timer("wm_rollout", timing):
                     prompt = wm_inputs["input_ids"][:, : b.wm_roll_cfg.prompt_length]
+                    # NOTE: round 2 clamped speculative rollouts to 16-row
+                    # chunks after a TPU runtime crash at >=64 rows; the
+                    # crash does not reproduce with the bounded-exp kernels
+                    # (re-probed 2026-08-19: spec_k=5 at batch 64 runs clean,
+                    # artifacts/SPEC_r3_b64.log), so the clamp is gone and
+                    # micro_batch_size is honored as configured.
                     wm_mb = cfg.world_model_rollout.rollout.get("micro_batch_size", 16) or 16
-                    if b.wm_roll_cfg.speculative_k > 0 and wm_mb > 16:
-                        # the axon TPU runtime crashes the full-size speculative
-                        # rollout at >=64 rows/call (DESIGN_NOTES round-2
-                        # backlog); 16-row chunks are the proven envelope
-                        print(
-                            f"[wm_rollout] speculative_k>0: clamping wm "
-                            f"micro_batch_size {wm_mb} -> 16 (TPU-runtime crash "
-                            f"envelope)"
-                        )
-                        wm_mb = 16
                     wm_size = wm_mb * self.n_devices
                     total_r = prompt.shape[0]
                     # the prompt head (ctx + dyn_0, everything before the
