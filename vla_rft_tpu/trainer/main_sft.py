@@ -233,8 +233,9 @@ def _run_vla_adapter(config, preset, steps):
 def _run_vla_align(config, preset, steps):
     """Legacy prismatic PRETRAINING 'align' stage: projector-only training
     on image-caption next-token loss (reference prismatic/training
-    strategies, stage='align').  Synthetic captions here; point
-    data.train_files at a parquet of (caption, image) rows for real runs."""
+    strategies, stage='align').  Real LLaVA chat-JSON caption data when
+    sft.chat_json is set (data/caption.py AlignCaptionDataset — reference
+    AlignDataset format); synthetic captions otherwise."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -246,6 +247,35 @@ def _run_vla_align(config, preset, steps):
     bundle = build_models(config, preset)
     params = fast_random_params(bundle, config.trainer.get("seed", 0))
     sft = config.get("sft", {})
+    chat_json = sft.get("chat_json", None) if hasattr(sft, "get") else None
+    if chat_json:
+        from transformers import AutoTokenizer
+
+        from vla_rft_tpu.data.caption import get_caption_dataset
+
+        tok = AutoTokenizer.from_pretrained(config.actor_rollout_ref.model.path)
+        cap_ds = get_caption_dataset(
+            sft.get("stage", "align"),
+            json_path=chat_json,
+            image_dir=sft.get("image_dir", "."),
+            tokenizer=tok,
+            image_size=bundle.policy_image_size,
+            batch_size=config.data.train_batch_size,
+            seq_len=bundle.policy_seq_len,
+            pad_token_id=tok.pad_token_id or 0,
+            seed=config.trainer.get("seed", 0),
+        )
+        trainer = PrismaticAlignTrainer(
+            bundle.vla, params["vla"], lr=float(sft.get("projector_lr", 1e-3)),
+        )
+        for step in range(1, steps + 1):
+            t0 = time.time()
+            b = cap_ds.next_batch()
+            loss = trainer.training_step(
+                {k: b[k] for k in ("input_ids", "pixel_values", "attention_mask", "labels")}
+            )
+            print(f"[align {step}] loss {loss:.4f}  ({time.time()-t0:.2f}s)", flush=True)
+        return
     dataset = SyntheticVLADataset(
         SyntheticVLAConfig(
             batch_size=config.data.train_batch_size,
