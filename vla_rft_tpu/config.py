@@ -172,6 +172,10 @@ def vla_rft_default_config() -> Config:
                     "cfg_path": None,
                     "enable_gradient_checkpointing": False,
                     "use_remove_padding": False,
+                    # camera views per sample (third-person [+ wrist]);
+                    # reference num_images_in_input — LIBERO eval default 2
+                    # (run_libero_eval.py:99, modeling_prismatic.py:209-231)
+                    "num_images_in_input": 1,
                 },
                 "actor": {
                     "num_patches": 256,

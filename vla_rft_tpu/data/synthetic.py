@@ -32,6 +32,9 @@ class SyntheticVLAConfig:
     action_dim: int = 7
     proprio_dim: int = 8
     text_vocab: int = 150000
+    # camera views: each contributes a 6-channel dino|siglip stack
+    # (num_images_in_input, modeling_prismatic.py:209-231)
+    num_images: int = 1
     seed: int = 0
 
 
@@ -73,7 +76,8 @@ class SyntheticVLADataset:
 
         return {
             "pixel_values": rng.uniform(
-                0, 1, (B, cfg.policy_image_size, cfg.policy_image_size, 6)
+                0, 1,
+                (B, cfg.policy_image_size, cfg.policy_image_size, 6 * cfg.num_images),
             ).astype(np.float32),
             "proprio": rng.normal(size=(B, cfg.proprio_dim)).astype(np.float32),
             "input_ids": input_ids.astype(np.int32),

@@ -36,6 +36,13 @@ class GenerateConfig:
     num_steps_wait: int = 10  # wait for objects to settle
     num_open_loop_steps: int = 8
     resize_size: int = 224
+    # cameras per VLA input: third-person (+ wrist when 2) — reference
+    # default is 2 (run_libero_eval.py:99); must match the checkpoint's
+    # vision backbone (model.num_images_in_input)
+    num_images_in_input: int = 2
+    # eval-time center crop, required when the checkpoint was trained with
+    # random-crop image aug (run_libero_eval.py:102, validate_config :140)
+    center_crop: bool = True
     seed: int = 7
     unnorm_key: Optional[str] = None
     # when set, each episode's frames are saved as an animated GIF named
@@ -60,6 +67,57 @@ def resize_image_for_policy(img: np.ndarray, size: int) -> np.ndarray:
     if pil.size != (size, size):
         pil = pil.resize((size, size), Image.LANCZOS)
     return np.asarray(pil, np.uint8)
+
+
+def crop_and_resize(image: np.ndarray, crop_scale: float) -> np.ndarray:
+    """openvla_utils.crop_and_resize (:577-624) without TF: center-crop a
+    float [0,1] image to a box of side sqrt(crop_scale) (of the normalized
+    square) and resize back to (H, W) with tf.image.crop_and_resize's
+    bilinear sampling (box corners land on corner pixel CENTERS — the
+    align-corners grid, NOT tf.image.resize's half-pixel grid).
+
+    image: (H, W, C) or (B, H, W, C) float32 in [0, 1].
+    """
+    squeeze = image.ndim == 3
+    if squeeze:
+        image = image[None]
+    b, h, w, c = image.shape
+    s = float(np.clip(np.sqrt(crop_scale), 0.0, 1.0))
+    y1, x1 = (1.0 - s) / 2.0, (1.0 - s) / 2.0
+    y2, x2 = y1 + s, x1 + s
+
+    def grid(n_out, n_in, lo, hi):
+        # crop_and_resize sampling: lo*(n_in-1) .. hi*(n_in-1) inclusive
+        if n_out > 1:
+            return lo * (n_in - 1) + np.arange(n_out) * (hi - lo) * (n_in - 1) / (n_out - 1)
+        return np.full(1, 0.5 * (lo + hi) * (n_in - 1))
+
+    ys = grid(h, h, y1, y2)
+    xs = grid(w, w, x1, x2)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1i = np.minimum(y0 + 1, h - 1)
+    x1i = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(np.float32)[None, :, None, None]
+    wx = (xs - x0).astype(np.float32)[None, None, :, None]
+    im = image.astype(np.float32)
+    top = im[:, y0][:, :, x0] * (1 - wx) + im[:, y0][:, :, x1i] * wx
+    bot = im[:, y1i][:, :, x0] * (1 - wx) + im[:, y1i][:, :, x1i] * wx
+    out = top * (1 - wy) + bot * wy
+    return out[0] if squeeze else out
+
+
+def center_crop_image(image: np.ndarray) -> np.ndarray:
+    """openvla_utils.center_crop_image (:627-657): 0.9-area center crop +
+    resize back, uint8 in/out (convert_image_dtype saturate semantics)."""
+    x = np.asarray(image)
+    orig_uint8 = x.dtype == np.uint8
+    xf = x.astype(np.float32) / 255.0 if orig_uint8 else x.astype(np.float32)
+    out = np.clip(crop_and_resize(xf, 0.9), 0.0, 1.0)
+    if orig_uint8:
+        # tf.image.convert_image_dtype float->uint8: saturate_cast(x * 255.5)
+        return np.clip(np.floor(out * 255.5), 0, 255).astype(np.uint8)
+    return out
 
 
 def quat2axisangle(quat: np.ndarray) -> np.ndarray:
@@ -93,6 +151,7 @@ class ScriptedEnv:
         img = np.full((self.image_size, self.image_size, 3), self.t % 255, np.uint8)
         return {
             "agentview_image": img,
+            "robot0_eye_in_hand_image": img // 2,
             "robot0_eef_pos": np.zeros(3),
             "robot0_eef_quat": np.array([0, 0, 0, 1.0]),
             "robot0_gripper_qpos": np.zeros(2),
@@ -121,9 +180,13 @@ def make_libero_env(task_suite_name: str, task_id: int, resolution: int = 256):
     return env, task.language, init_states
 
 
-def prepare_observation(obs: Dict[str, Any], resize_size: int) -> Dict[str, np.ndarray]:
-    """run_libero_eval.prepare_observation (:328): flip the rendered image and
-    assemble proprio = [eef_pos, axis-angle, gripper]."""
+def prepare_observation(
+    obs: Dict[str, Any], resize_size: int, num_images_in_input: int = 1
+) -> Dict[str, np.ndarray]:
+    """run_libero_eval.prepare_observation (:246-262): flip the rendered
+    image(s) (agentview + wrist cam when num_images_in_input > 1,
+    libero_utils.get_libero_image/get_libero_wrist_image :34-45), resize,
+    and assemble proprio = [eef_pos, axis-angle, gripper]."""
     img = obs["agentview_image"][::-1, ::-1]  # LIBERO renders upside down
     img = resize_image_for_policy(img, resize_size)
     proprio = np.concatenate(
@@ -133,7 +196,11 @@ def prepare_observation(obs: Dict[str, Any], resize_size: int) -> Dict[str, np.n
             obs["robot0_gripper_qpos"],
         ]
     )
-    return {"full_image": img, "proprio": proprio}
+    out = {"full_image": img, "proprio": proprio}
+    if num_images_in_input > 1 and "robot0_eye_in_hand_image" in obs:
+        wrist = obs["robot0_eye_in_hand_image"][::-1, ::-1]
+        out["wrist_image"] = resize_image_for_policy(wrist, resize_size)
+    return out
 
 
 def save_rollout_video(
@@ -191,7 +258,9 @@ def run_episode(
             obs, reward, done, info = env.step(dummy.tolist())
             t += 1
             continue
-        observation = prepare_observation(obs, cfg.resize_size)
+        observation = prepare_observation(
+            obs, cfg.resize_size, cfg.num_images_in_input
+        )
         if record and "full_image" in observation:
             replay.append(observation["full_image"])
         if len(action_queue) == 0:

@@ -18,7 +18,20 @@ def main(argv=None):
     p.add_argument("--ckpt", default="")
     p.add_argument("--num_tasks", type=int, default=10)
     p.add_argument("--scripted_env", action="store_true", help="fake env smoke test")
+    # reference defaults: 2 cameras (third-person + wrist) and eval-time
+    # center crop (run_libero_eval.py:99,102)
+    p.add_argument("--num_images_in_input", type=int, default=2)
+    p.add_argument("--center_crop", type=lambda s: s.lower() != "false", default=True)
+    p.add_argument("--preset", default="libero", help="model preset (tiny for CPU smoke)")
     args = p.parse_args(argv)
+
+    # validate_config (run_libero_eval.py:140): an aug-trained checkpoint
+    # MUST be evaluated with the matching center crop
+    if "image_aug" in str(args.ckpt):
+        assert args.center_crop, (
+            "Expecting `center_crop==True` because model was trained with "
+            "image augmentations!"
+        )
 
     from vla_rft_tpu.eval.libero_eval import (
         GenerateConfig,
@@ -32,10 +45,16 @@ def main(argv=None):
         task_suite_name=args.task_suite_name,
         num_trials_per_task=args.num_trials_per_task,
         num_open_loop_steps=args.num_open_loop_steps,
+        num_images_in_input=args.num_images_in_input,
+        center_crop=args.center_crop,
     )
     # shared policy glue (eval/policy.py) — same builder the action server
     # and the ALOHA/Bridge harnesses use
-    get_action_chunk = build_policy_fn(ckpt=args.ckpt, seed=cfg.seed)
+    get_action_chunk = build_policy_fn(
+        ckpt=args.ckpt, seed=cfg.seed,
+        num_images=cfg.num_images_in_input, center_crop=cfg.center_crop,
+        preset=args.preset,
+    )
 
     if args.scripted_env:
         env_factory = lambda tid: (ScriptedEnv(succeed_at=12), "scripted", None)

@@ -18,15 +18,51 @@ from typing import Any, Callable, Dict
 import numpy as np
 
 
+def assemble_pixels(observation: Dict[str, Any], num_images: int = 1,
+                    center_crop: bool = False) -> np.ndarray:
+    """Observation -> (H, W, 6*num_images) float32 [0,1] policy pixels.
+
+    View order matches the reference: full_image first, then every obs key
+    containing 'wrist' in dict order (openvla_utils.get_vla_action:777-779);
+    each view center-cropped when asked (prepare_images_for_vla :713-744)
+    then stacked [view, view] into its 6-channel dino|siglip slot
+    (pixel_values concat on channels, :808-813)."""
+    from vla_rft_tpu.eval.libero_eval import center_crop_image
+
+    views = [observation["full_image"]]
+    if num_images > 1:
+        views += [observation[k] for k in observation if "wrist" in k]
+    views = views[:num_images]
+    while len(views) < num_images:  # missing cameras: repeat the last
+        views.append(views[-1])
+    stacks = []
+    for v in views:
+        if center_crop:
+            v = center_crop_image(np.asarray(v))
+        v = np.asarray(v, np.float32) / 255.0
+        # one camera -> a 6-channel dino|siglip stack (both towers see the
+        # SAME image; normalization happens inside the backbone)
+        stacks.append(np.concatenate([v, v], -1))
+    return np.concatenate(stacks, -1)
+
+
 def build_policy_fn(ckpt: str = "", num_flow_steps: int = 10,
-                    seed: int = 7) -> Callable[[Dict[str, Any], str], np.ndarray]:
+                    seed: int = 7, num_images: int = 1,
+                    center_crop: bool = False, preset: str = "libero",
+                    ) -> Callable[[Dict[str, Any], str], np.ndarray]:
     """Load models (converted checkpoint dir or random-init smoke), jit
     predict_action, and return the closed-over policy function.
 
-    Observation keys used: full_image (H, W, 3 uint8; a second camera in
-    'wrist_image'/'left_wrist_image' is fused into channels 3:6 when
-    present, else the primary image is duplicated — matching the training
-    6-channel convention), proprio/state (7,).
+    Observation keys used: full_image (H, W, 3 uint8), proprio/state (7,),
+    and — when num_images > 1 — every key containing 'wrist' as an extra
+    camera view (openvla_utils.get_vla_action:777-779).  Each view becomes
+    its own 6-channel dino|siglip stack; views concatenate on channels to
+    (H, W, 6*num_images), matching the reference's per-image pixel_values
+    concat (:808-813) and the backbone's multi-image split
+    (modeling_prismatic.py:209-231).  center_crop applies the reference's
+    eval-time 0.9-area center crop to every view BEFORE the policy forward
+    (prepare_images_for_vla, openvla_utils.py:713-744) — required when the
+    checkpoint was trained with random-crop aug (run_libero_eval.py:140).
     """
     import jax
     import jax.numpy as jnp
@@ -42,7 +78,10 @@ def build_policy_fn(ckpt: str = "", num_flow_steps: int = 10,
     )
 
     config = vla_rft_default_config()
-    bundle = build_models(config, preset="libero")
+    config.actor_rollout_ref.model.num_images_in_input = int(num_images)
+    # preset != 'libero' (tiny/push) keeps the identical glue but at
+    # CPU-compilable model sizes — smoke drives and the push-env suite
+    bundle = build_models(config, preset=preset)
     params = init_params(bundle, jax.random.key(0))
     norm_stats = {"q01": -np.ones(7), "q99": np.ones(7)}
     if ckpt:
@@ -74,21 +113,40 @@ def build_policy_fn(ckpt: str = "", num_flow_steps: int = 10,
 
     rng_box = [jax.random.key(seed)]
 
+    P = bundle.policy_image_size
+
+    def _fit_views(six: np.ndarray) -> np.ndarray:
+        """Per-view bilinear resize to the bundle's policy resolution (the
+        harness serves cfg.resize_size images; non-libero presets are
+        smaller)."""
+        if six.shape[0] == P and six.shape[1] == P:
+            return six
+        import jax.image
+
+        return np.asarray(
+            jax.image.resize(jnp.asarray(six), (P, P, six.shape[-1]), "bilinear")
+        )
+
     def policy_fn(observation: Dict[str, Any], task_description: str) -> np.ndarray:
         rng_box[0], sub = jax.random.split(rng_box[0])
-        s = build_vla_sample(tokenizer, task_description, None)
-        coll = pad_collate([s], pad_token_id=151643, max_length=96)
-        img = np.asarray(observation["full_image"], np.float32) / 255.0
-        wrist = None
-        for k in ("wrist_image", "left_wrist_image"):
-            if k in observation:
-                wrist = np.asarray(observation[k], np.float32) / 255.0
-                break
-        six = np.concatenate([img, wrist if wrist is not None else img], -1)
+        s = build_vla_sample(
+            tokenizer, task_description, None, num_tokens=bundle.vla_cfg.num_tokens
+        )
+        coll = pad_collate(
+            [s], pad_token_id=151643,
+            max_length=max(bundle.policy_seq_len, len(s["input_ids"])),
+        )
+        six = _fit_views(assemble_pixels(observation, num_images, center_crop))
         proprio = observation.get("proprio", observation.get("state"))
         if proprio is None:
-            proprio = np.zeros(7)
-        proprio = np.asarray(proprio, np.float32).reshape(-1)[:7]
+            proprio = np.zeros(bundle.vla_cfg.proprio_dim)
+        # LIBERO proprio is 8-dim: eef_pos(3) + axis-angle(3) + gripper(2)
+        # (prismatic/vla/constants.py PROPRIO_DIM); pad/trim to the
+        # projector's input width rather than silently truncating
+        pd = bundle.vla_cfg.proprio_dim
+        proprio = np.asarray(proprio, np.float32).reshape(-1)[:pd]
+        if proprio.shape[0] < pd:
+            proprio = np.pad(proprio, (0, pd - proprio.shape[0]))
         batch = {
             "input_ids": jnp.asarray(coll["input_ids"], jnp.int32),
             "labels": jnp.asarray(coll["labels"], jnp.int32),

@@ -93,8 +93,12 @@ def build_models(config, preset: str = "libero") -> ModelBundle:
         num_frames=segment_length - 1,
     )
 
+    num_images = int(config.actor_rollout_ref.model.get("num_images_in_input", 1))
+
     if preset == "tiny":
         vla_cfg = OpenVLAConfig.tiny_test()
+        if num_images != 1:
+            vla_cfg = dataclasses.replace(vla_cfg, num_images=num_images)
         expert_cfg = ActionHeadConfig(
             llm_dim=vla_cfg.llm.hidden_size, dit_hidden=32, dit_depth=2, dit_heads=4,
             action_dim=proc.action_dim, dtype=jnp.float32,
@@ -131,8 +135,74 @@ def build_models(config, preset: str = "libero") -> ModelBundle:
             num_raw_frames=segment_length,
         )
 
+    if preset == "push":
+        # small-but-capable sizes for the MuJoCo push-env RFT-evidence run
+        # (tools/rft_evidence.py): 64px policy views (8x8 ViT patches), a
+        # 128-hidden policy LLM, a 4-layer WM, and a 32px tokenizer with
+        # 16 dyn tokens/frame — the same topology as 'libero', sized so a
+        # full tokenizer->WM->BC->RFT pipeline trains in-harness.  Fills the
+        # role of the reference's arithmetic-sequence fake backend
+        # (train/verl/tests/e2e/arithmetic_sequence/) but with REAL physics.
+        vla_cfg = OpenVLAConfig(
+            siglip=ViTConfig.siglip_so400m(
+                image_size=64, patch_size=8, hidden_size=64, depth=3,
+                num_heads=4, mlp_dim=128, dtype=jnp.float32,
+                param_dtype=jnp.float32,
+            ),
+            dino=ViTConfig.dinov2_large_reg4(
+                image_size=64, patch_size=8, hidden_size=64, depth=3,
+                num_heads=4, mlp_dim=128, dtype=jnp.float32,
+                param_dtype=jnp.float32,
+            ),
+            llm=TransformerConfig(
+                vocab_size=152000, hidden_size=128, intermediate_size=256,
+                num_layers=3, num_heads=4, num_kv_heads=2, qkv_bias=True,
+                tie_word_embeddings=True, dtype=jnp.float32,
+                param_dtype=jnp.float32, attn_impl="xla",
+            ),
+            num_patches=64,
+            num_tokens=8,
+            num_images=num_images,
+        )
+        expert_cfg = ActionHeadConfig(
+            llm_dim=vla_cfg.llm.hidden_size, dit_hidden=64, dit_depth=3,
+            dit_heads=4, action_dim=proc.action_dim, dtype=jnp.float32,
+            num_actions_chunk=segment_length - 1,
+            num_flow_steps=config.actor_rollout_ref.rollout.get("num_flow_steps", 10),
+        )
+        wm_cfg = TransformerConfig(
+            vocab_size=config.actor_rollout_ref.actor.vocab_size,
+            hidden_size=128, intermediate_size=512, num_layers=4, num_heads=2,
+            num_kv_heads=2, dtype=jnp.float32, param_dtype=jnp.float32,
+            attn_impl="xla",
+        )
+        tokenizer = CompressiveVQModelFSQ(
+            block_out_channels=(16, 32, 32), layers_per_block=1,
+            latent_channels=4, norm_num_groups=4, resolution=32,
+            ctx_res=(8, 8), dyn_res=(4, 4), patch_size=2,
+            max_att_resolution=8,
+        )
+        lpips = LPIPS()
+        return ModelBundle(
+            vla=OpenVLA(vla_cfg),
+            expert=ActionExpert(expert_cfg),
+            wm=Decoder(wm_cfg),
+            tokenizer=tokenizer,
+            lpips=lpips,
+            vla_cfg=vla_cfg,
+            expert_cfg=expert_cfg,
+            wm_cfg=wm_cfg,
+            proc_cfg=proc_cfg,
+            wm_roll_cfg=wm_roll_cfg,
+            reward_cfg=reward_cfg,
+            policy_seq_len=32,
+            policy_image_size=64,
+            wm_image_size=32,
+            num_raw_frames=segment_length,
+        )
+
     # ----- libero (real) sizes -----
-    vla_cfg = OpenVLAConfig()
+    vla_cfg = OpenVLAConfig(num_images=num_images)
     expert_cfg = ActionHeadConfig(
         llm_dim=vla_cfg.llm.hidden_size,
         action_dim=proc.action_dim,
@@ -221,6 +291,53 @@ def fast_random_params(bundle: ModelBundle, seed: int = 0) -> Dict[str, Any]:
     return jax.tree_util.tree_map_with_path(materialize, shapes)
 
 
+def fast_random_params_device(bundle: ModelBundle, seed: int = 0) -> Dict[str, Any]:
+    """fast_random_params, generated ON DEVICE inside one jitted program.
+
+    The host variant materializes ~3.5GB of leaves with numpy and ships them
+    through `jax.device_put` — at the axon tunnel's ~14MB/s that is minutes
+    of pure upload per process start (measured round 4; the dominant cost of
+    a warm-cache `python bench.py`).  Generating the leaves with on-device
+    PRNG uploads nothing: one compile (persisted by the compilation cache),
+    one dispatch.  Same leaf conventions as fast_random_params (ones for
+    norm scales, zeros for biases, 0.02-normal weights)."""
+    from vla_rft_tpu.ops.attention import force_impl
+
+    with force_impl("xla"):
+        shapes = jax.eval_shape(
+            lambda r: _init_params_impl(bundle, r), jax.random.key(0)
+        )
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+    def _kind(path) -> str:
+        name = str(getattr(path[-1], "key", path[-1])).lower()
+        if name in ("weight", "scale") or "gamma" in name:
+            return "ones"
+        if name == "bias":
+            return "zeros"
+        return "normal"
+
+    kinds = [_kind(p) for p, _ in paths_leaves]
+
+    @jax.jit
+    def _gen(key):
+        outs = []
+        for i, (_, sd) in enumerate(paths_leaves):
+            if kinds[i] == "ones":
+                outs.append(jnp.ones(sd.shape, sd.dtype))
+            elif kinds[i] == "zeros":
+                outs.append(jnp.zeros(sd.shape, sd.dtype))
+            else:
+                r = jax.random.normal(
+                    jax.random.fold_in(key, i), sd.shape, jnp.float32
+                )
+                outs.append((r * jnp.float32(0.02)).astype(sd.dtype))
+        return outs
+
+    leaves = _gen(jax.random.key(seed))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def _init_params_impl(bundle: ModelBundle, rng: jax.Array) -> Dict[str, Any]:
     ks = jax.random.split(rng, 5)
     B = 1
@@ -236,13 +353,13 @@ def _init_params_impl(bundle: ModelBundle, rng: jax.Array) -> Dict[str, Any]:
         "input_ids": jnp.asarray(labels.clip(0), jnp.int32),
         "labels": jnp.asarray(labels, jnp.int32),
         "attention_mask": jnp.ones((B, S), jnp.int32),
-        "pixels": jnp.zeros((B, img, img, 6), jnp.float32),
+        "pixels": jnp.zeros((B, img, img, 6 * vcfg.num_images), jnp.float32),
     }
     vla_params = bundle.vla.init(
         ks[0], dummy["input_ids"], dummy["pixels"], dummy["labels"], dummy["attention_mask"]
     )
     hidden = jnp.zeros(
-        (B, vcfg.num_patches + vcfg.num_tokens, vcfg.llm.hidden_size), jnp.float32
+        (B, vcfg.total_patches + vcfg.num_tokens, vcfg.llm.hidden_size), jnp.float32
     )
     ecfg = bundle.expert_cfg
     expert_params = bundle.expert.init(

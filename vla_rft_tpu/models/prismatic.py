@@ -47,13 +47,24 @@ class OpenVLAConfig:
     siglip: ViTConfig = ViTConfig.siglip_so400m()
     dino: ViTConfig = ViTConfig.dinov2_large_reg4()
     llm: TransformerConfig = TransformerConfig.qwen25_0_5b()
-    num_patches: int = 256
+    num_patches: int = 256  # per image
     num_tokens: int = NUM_TOKENS
     proprio_dim: int = 8
+    # number of camera views; each contributes a 6-channel dino|siglip stack
+    # and 256 patches (reference num_images_in_input, modeling_prismatic.py
+    # :209-231 — LIBERO eval defaults to 2: third-person + wrist,
+    # run_libero_eval.py:99)
+    num_images: int = 1
 
     @property
     def vision_dim(self) -> int:
         return self.dino.hidden_size + self.siglip.hidden_size
+
+    @property
+    def total_patches(self) -> int:
+        """NUM_PATCHES in the reference's v1 path: per-image patches x
+        num_images (modeling_prismatic.py:1464; no +1 for proprio in v1)."""
+        return self.num_patches * self.num_images
 
     @staticmethod
     def tiny_test() -> "OpenVLAConfig":
@@ -83,16 +94,33 @@ class PrismaticVisionBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
-        """pixel_values: (B, H, W, 6) float in [0,1], channels = dino|siglip
-        stacks (modeling_prismatic.py:199-206: `featurizer` is
-        timm_model_ids[0] = DINOv2 on channels 0:3, `fused_featurizer` is
-        SigLIP on 3:6; features concatenated [dino, siglip]).
-        Returns (B, P, 2176)."""
+        """pixel_values: (B, H, W, 6*num_images) float in [0,1]; image i
+        occupies channels [6i, 6i+6) as a dino|siglip stack
+        (modeling_prismatic.py:199-231: `featurizer` is timm_model_ids[0] =
+        DINOv2 on the first 3 channels of each stack, `fused_featurizer` is
+        SigLIP on the last 3; per-image features concatenated [dino, siglip]
+        on hidden, then images concatenated on the patch dim :225-231).
+        Returns (B, num_images*P, 2176).
+
+        TPU-first: instead of the reference's per-image python loop, the
+        images fold into the batch dim so each tower runs ONCE at batch
+        B*num_images — one big MXU-friendly matmul batch."""
+        N = self.cfg.num_images
+        if N > 1:
+            B, H, W, _ = pixel_values.shape
+            # (B, H, W, N, 6) -> (B, N, H, W, 6) -> (B*N, H, W, 6)
+            pixel_values = pixel_values.reshape(B, H, W, N, 6)
+            pixel_values = jnp.moveaxis(pixel_values, 3, 1).reshape(B * N, H, W, 6)
         img_d = normalize_images(pixel_values[..., 0:3], self.cfg.dino)
         img_s = normalize_images(pixel_values[..., 3:6], self.cfg.siglip)
         p_d = ViT(self.cfg.dino, name="featurizer")(img_d)
         p_s = ViT(self.cfg.siglip, name="fused_featurizer")(img_s)
-        return jnp.concatenate([p_d, p_s], axis=-1)
+        patches = jnp.concatenate([p_d, p_s], axis=-1)
+        if N > 1:
+            # unfold: (B*N, P, D) -> (B, N*P, D) — image 0's patches first,
+            # matching torch.cat(all_patches, dim=1)
+            patches = patches.reshape(B, N * patches.shape[1], patches.shape[-1])
+        return patches
 
 
 class PrismaticProjector(nn.Module):
@@ -140,11 +168,11 @@ class OpenVLA(nn.Module):
         attention_mask: jnp.ndarray,  # (B, S) right-padded 1/0
     ) -> jnp.ndarray:
         """One multimodal forward; returns all_hidden_states
-        (B, num_patches + num_tokens, llm_dim): [BOS+patch hiddens | action-
+        (B, total_patches + num_tokens, llm_dim): [BOS+patch hiddens | action-
         query hiddens], exactly the context the DiT heads consume."""
         cfg = self.cfg
         B, S = input_ids.shape
-        P = cfg.num_patches
+        P = cfg.total_patches
 
         # --- token embeddings with action queries substituted (v1 path) ---
         tok_emb = self.language_model(input_ids, embed_only=True)  # (B, S, D)
@@ -189,7 +217,7 @@ class OpenVLA(nn.Module):
         (B, S, vocab): logits[:, i] predicts input_ids[:, i+1]."""
         cfg = self.cfg
         B, S = input_ids.shape
-        P = cfg.num_patches
+        P = cfg.total_patches
         tok_emb = self.language_model(input_ids, embed_only=True)
         patches = self.projector(self.vision_backbone(pixel_values))
         mm_emb = jnp.concatenate(

@@ -170,11 +170,16 @@ def main(argv=None):
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8777)
     p.add_argument("--num_flow_steps", type=int, default=10)
+    p.add_argument("--num_images_in_input", type=int, default=1)
+    p.add_argument("--center_crop", action="store_true")
     args = p.parse_args(argv)
 
     from vla_rft_tpu.eval.policy import build_policy_fn
 
-    policy_fn = build_policy_fn(ckpt=args.ckpt, num_flow_steps=args.num_flow_steps)
+    policy_fn = build_policy_fn(
+        ckpt=args.ckpt, num_flow_steps=args.num_flow_steps,
+        num_images=args.num_images_in_input, center_crop=args.center_crop,
+    )
     server = ActionServer(policy_fn, host=args.host, port=args.port)
     print(f"[action_server] serving /act on {args.host}:{server.port}")
     server.serve_forever()

@@ -101,6 +101,7 @@ class VLARFTGRPOTrainer:
                 action_chunk=b.expert_cfg.num_actions_chunk,
                 action_dim=b.expert_cfg.action_dim,
                 proprio_dim=b.vla_cfg.proprio_dim,
+                num_images=b.vla_cfg.num_images,
                 seed=config.trainer.get("seed", 0),
             )
         )

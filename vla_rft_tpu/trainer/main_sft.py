@@ -146,6 +146,7 @@ def _run_vla_flow(config, preset, steps):
             action_chunk=bundle.expert_cfg.num_actions_chunk,
             action_dim=bundle.expert_cfg.action_dim,
             proprio_dim=bundle.vla_cfg.proprio_dim,
+            num_images=bundle.vla_cfg.num_images,
             seed=config.trainer.get("seed", 0),
         )
     )
@@ -199,6 +200,7 @@ def _run_vla_adapter(config, preset, steps):
             action_chunk=bundle.expert_cfg.num_actions_chunk,
             action_dim=bundle.expert_cfg.action_dim,
             proprio_dim=bundle.vla_cfg.proprio_dim,
+            num_images=bundle.vla_cfg.num_images,
             seed=config.trainer.get("seed", 0),
         )
     )
@@ -287,6 +289,7 @@ def _run_vla_align(config, preset, steps):
             action_chunk=bundle.expert_cfg.num_actions_chunk,
             action_dim=bundle.expert_cfg.action_dim,
             proprio_dim=bundle.vla_cfg.proprio_dim,
+            num_images=bundle.vla_cfg.num_images,
             seed=config.trainer.get("seed", 0),
         )
     )
