@@ -25,7 +25,19 @@ import numpy as np
 A100_BASELINE_FRAMES_PER_SEC_PER_CHIP = 17.0
 
 
+def _mark(phases, name, t0):
+    """Timeline instrumentation on stderr (the JSON line on stdout stays
+    clean): the tunnel makes STARTUP, not compute, the budget risk — record
+    where the wall time goes so a timed-out run is still diagnosable."""
+    now = time.time()
+    phases[name] = round(now - t0, 1)
+    print(f"[bench +{now - phases['_start']:.0f}s] {name}", file=sys.stderr, flush=True)
+    return now
+
+
 def main():
+    phases = {"_start": time.time()}
+    t0 = phases["_start"]
     import jax
 
     from vla_rft_tpu.utils.cache import enable_compilation_cache
@@ -36,6 +48,8 @@ def main():
     from vla_rft_tpu.config import vla_rft_default_config
     from vla_rft_tpu.parallel.mesh import MeshConfig, make_mesh
     from vla_rft_tpu.trainer.grpo_trainer import VLARFTGRPOTrainer
+
+    t0 = _mark(phases, "imports_s", t0)
 
     n_devices = len(jax.devices())
     c = vla_rft_default_config()
@@ -61,17 +75,26 @@ def main():
     c.mesh = {"dp": n_devices, "fsdp": 1, "tp": 1, "sp": 1}
 
     mesh = make_mesh(MeshConfig(dp=n_devices))
-    trainer = VLARFTGRPOTrainer(c, preset="libero", mesh=mesh)
+    # params generated ON DEVICE: the host-init path device_puts ~3.5GB
+    # through the ~14MB/s tunnel (minutes of upload per process start)
+    from vla_rft_tpu.models.factory import build_models, fast_random_params_device
+
+    params = fast_random_params_device(build_models(c, "libero"), seed=0)
+    t0 = _mark(phases, "params_on_device_s", t0)
+    trainer = VLARFTGRPOTrainer(c, preset="libero", mesh=mesh, params=params)
+    t0 = _mark(phases, "trainer_ctor_s", t0)
 
     # host-side data generation happens up front: a real run hides it behind
     # the PrefetchingLoader, so it doesn't belong in the timed window
     batches = [trainer.dataset.next_batch() for _ in range(4)]
     rng = jax.random.key(0)
+    t0 = _mark(phases, "host_data_s", t0)
 
     # warmup / compile (prefetches the first timed batch like fit() does)
     t0 = time.time()
     trainer.training_step(batches[0], rng, next_batch_np=batches[1])
     compile_s = time.time() - t0
+    t0 = _mark(phases, "warmup_s", t0)
 
     times = []
     metrics = {}
@@ -114,6 +137,13 @@ def main():
         "extra": {
             "step_time_s": round(step_s, 2),
             "compile_time_s": round(compile_s, 1),
+            # single-chip whole-step MFU (VERDICT r3 item 2): estimated
+            # fwd+bwd FLOPs across every model family in the step
+            # (utils/flops_counter.vla_rft_step_flops) / v5e bf16 peak
+            "mfu": round(float(metrics.get("perf/mfu", 0.0)), 4),
+            "startup_phases_s": {
+                k: v for k, v in phases.items() if not k.startswith("_")
+            },
             "sequences_per_step": n_seqs,
             "wm_rollout_frames_per_sec_per_chip": (
                 round(wm_frames / wm_t / n_devices, 2) if wm_t > 0 else None
