@@ -1,0 +1,694 @@
+"""End-to-end "RFT improves the policy" evidence on REAL dynamics.
+
+The reference's headline claim is that world-model-reward RFT surpasses
+supervised baselines in <400 fine-tuning steps (/root/reference/README.md:20)
+— but its WM/policy weights are unreleased, so that claim can't be replayed.
+This tool reproduces the CLAIM'S SHAPE end to end on the MuJoCo push env
+(eval/mujoco_push_env.py — real contacts/friction physics) with the 'push'
+model preset: every stage of the VLA-RFT pipeline is TRAINED, not random.
+
+Phases (each caches its artifact under --workdir and can run standalone):
+
+  collect     scripted-expert + graded-noise segments from the env
+  tokenizer   train CompressiveVQModelFSQ (recon_train STE forward)
+  wm          train the 4-layer WM on tokenized (frames, actions) sequences
+  wmcheck     validate the WM reward against ENV-TRUTH counterfactuals:
+              re-execute perturbed actions in MuJoCo, check the WM's reward
+              rank-correlates with the true future-frame error
+  bc          behavior-clone the policy (VLAAdapter SFT, expert relabels)
+  evalpolicy  success rate of a saved policy on the push suite
+  rft         GRPO RFT inside the trained WM (VLARFTGRPOTrainer, preset=push)
+  report      collate everything into RFT_EVIDENCE.json
+
+Run `python tools/rft_evidence.py all` for the full pipeline.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _select_platform():
+    """Default to the TPU when one is reachable: this host has ONE CPU core,
+    so even the tiny push models train ~100x slower locally (measured
+    5.5s/step for the 4-layer WM) than on the tunneled chip.  Remote compiles
+    cost ~30-120s each, so the persistent compilation cache matters more here
+    than step speed.  Set RFT_EVIDENCE_PLATFORM=cpu for the host-only path
+    (tests use it)."""
+    plat = os.environ.get("RFT_EVIDENCE_PLATFORM", "")
+    if plat == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return
+    from vla_rft_tpu.utils.cache import enable_compilation_cache
+    from vla_rft_tpu.utils.conv_im2col import enable_im2col_conv
+
+    enable_compilation_cache()
+    # the tunnel compiles conv HLOs pathologically slowly (270s for ONE
+    # fresh 3x3 conv vs 2.5s for a matmul); every conv in the push-size
+    # models compiles as im2col+dot instead (bit-equivalent, MXU-friendly)
+    enable_im2col_conv()
+
+
+# ----------------------------------------------------------------- utilities
+def save_tree(path: str, tree) -> None:
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    np.savez(path, **{f"p{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def load_tree(path: str, like):
+    import jax
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        leaves, treedef = jax.tree_util.tree_flatten(like)
+        assert len(z.files) == len(leaves), (len(z.files), len(leaves))
+        return jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(z[f"p{i}"], l.dtype) for i, l in enumerate(leaves)]
+        )
+
+
+def make_config(args):
+    from vla_rft_tpu.config import vla_rft_default_config
+
+    chunk = 8
+    tpf = 16  # dyn tokens/frame at the push preset (8x8 ctx, 4x4 dyn grids)
+    return vla_rft_default_config().apply_overrides([
+        "data.train_batch_size=8",
+        f"data.video.segment_length={chunk + 1}",
+        f"data.max_prompt_length={64 + tpf + 7}",
+        f"data.max_response_length={chunk * (tpf + 7)}",
+        f"processor.tokens_per_frame={tpf}",
+        f"world_model_rollout.rollout.interact_max_tokens={tpf}",
+        # reward = -MAE(WM(policy actions), REAL recorded frames): the gt
+        # branch is off because genuine future frames exist for every segment
+        "world_model_rollout.rollout.w_gt_ac=False",
+        "processor.use_img_gt_ac=False",
+        "trainer.loss_weight.lpips=0.0",
+        "trainer.reward_fn=mae",
+        f"actor_rollout_ref.rollout.n={args.rollout_n}",
+        "actor_rollout_ref.rollout.num_flow_steps=10",
+        f"actor_rollout_ref.actor.ppo_mini_batch_size={8 * args.rollout_n}",
+        f"actor_rollout_ref.actor.ppo_micro_batch_size_per_gpu={8 * args.rollout_n}",
+        f"actor_rollout_ref.rollout.log_prob_micro_batch_size_per_gpu={8 * args.rollout_n}",
+        f"actor_rollout_ref.actor.optim.lr={args.rft_lr}",
+        "trainer.save_freq=-1",
+        "trainer.save_last_freq=-1",
+        "trainer.logger=[]",
+        f"trainer.total_training_steps={args.rft_steps}",
+    ])
+
+
+def build_push_bundle(args):
+    from vla_rft_tpu.models.factory import build_models
+
+    return make_config(args), build_models(make_config(args), "push")
+
+
+def _policy_batch(ds_like, pixels64_u8: np.ndarray, proprio: np.ndarray):
+    """One policy forward batch from raw eval observations."""
+    from vla_rft_tpu.data.push_data import build_push_prompt
+
+    ids, attn, labels = build_push_prompt(32, 8)
+    B = pixels64_u8.shape[0]
+    px = pixels64_u8.astype(np.float32) / 255.0
+    return {
+        "input_ids": np.tile(ids, (B, 1)),
+        "attention_mask": np.tile(attn, (B, 1)),
+        "labels": np.tile(labels, (B, 1)),
+        "pixels": np.concatenate([px, px], axis=-1),
+        "proprio": proprio.astype(np.float32),
+    }
+
+
+# -------------------------------------------------------------------- phases
+def phase_collect(args):
+    from vla_rft_tpu.data.push_data import CollectConfig, collect_push_segments, save_segments
+
+    t0 = time.time()
+    data = collect_push_segments(
+        CollectConfig(n_segments=args.n_segments, seed=args.seed)
+    )
+    path = os.path.join(args.workdir, "segments.npz")
+    save_segments(path, data)
+    frac_clean = float((data["noise_scale"] == 0).mean())
+    print(
+        f"[collect] {args.n_segments} segments in {time.time()-t0:.0f}s -> {path} "
+        f"(clean-expert fraction {frac_clean:.2f}, "
+        f"success fraction {float(data['success'].mean()):.2f})",
+        flush=True,
+    )
+
+
+def phase_tokenizer(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vla_rft_tpu.data.push_data import load_segments
+
+    _, bundle = build_push_bundle(args)
+    tok = bundle.tokenizer
+    data = load_segments(os.path.join(args.workdir, "segments.npz"))
+    frames = data["raw_pixel_values"]  # (N, 9, 32, 32, 3) uint8
+
+    rng = np.random.default_rng(args.seed)
+    B = 8
+    T = 4  # ctx + 3 future frames per training sample (random windows)
+
+    def sample_batch():
+        rows = rng.integers(0, len(frames), B)
+        # random future window per row; ctx = frame 0 (deployment layout)
+        starts = rng.integers(1, frames.shape[1] - (T - 1) + 1, B)
+        out = np.empty((B, T, 32, 32, 3), np.float32)
+        for i, (r, s) in enumerate(zip(rows, starts)):
+            out[i, 0] = frames[r, 0]
+            out[i, 1:] = frames[r, s : s + T - 1]
+        return out / 255.0
+
+    params = tok.init(jax.random.key(args.seed), jnp.zeros((1, T, 32, 32, 3)))
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, px):
+        def loss_fn(p):
+            rec = tok.apply(p, px, method=tok.recon_train)
+            return jnp.mean((rec - px) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    t0 = time.time()
+    for it in range(args.tok_steps):
+        params, opt, loss = step(params, opt, jnp.asarray(sample_batch()))
+        if it % 200 == 0 or it == args.tok_steps - 1:
+            psnr = -10 * np.log10(max(float(loss), 1e-9))
+            print(f"[tokenizer {it}] mse {float(loss):.5f} psnr {psnr:.1f}dB "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    save_tree(os.path.join(args.workdir, "tokenizer.npz"), params)
+    print(f"[tokenizer] saved ({time.time()-t0:.0f}s)", flush=True)
+
+
+def make_segment_tokenizer(bundle, tok_params, action_ranges):
+    """ONE jitted (frames_u8, actions) -> WM sequences fn (the trainer's
+    process_fn dataflow at n=1: add ctx frame, tokenize, ctx_msp layout).
+    Built once per phase — a fresh jit per batch would retrace+recompile."""
+    import jax
+    import jax.numpy as jnp
+
+    from vla_rft_tpu.workers.processor import add_context_frame, ctx_msp_process
+
+    @jax.jit
+    def run(frames_u8, actions):
+        px = frames_u8.astype(jnp.float32) / 255.0
+        px_w, _ = add_context_frame(px, actions)
+        idx_c, idx_d = bundle.tokenizer.apply(
+            tok_params, px_w, method=bundle.tokenizer.tokenize
+        )
+        acts_w = jnp.concatenate([actions[:, :1], actions, actions[:, -1:]], axis=1)
+        return ctx_msp_process(bundle.proc_cfg, idx_c, idx_d, acts_w, action_ranges)
+
+    return lambda frames_u8, actions: run(jnp.asarray(frames_u8), jnp.asarray(actions))
+
+
+def phase_wm(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vla_rft_tpu.data.push_data import load_segments, train_val_split
+    from vla_rft_tpu.data.synthetic import default_action_ranges
+
+    _, bundle = build_push_bundle(args)
+    data = load_segments(os.path.join(args.workdir, "segments.npz"))
+    tok_params = load_tree(
+        os.path.join(args.workdir, "tokenizer.npz"),
+        bundle.tokenizer.init(jax.random.key(0), jnp.zeros((1, 4, 32, 32, 3))),
+    )
+    ranges = jnp.asarray(default_action_ranges(7))
+    tr_idx, va_idx = train_val_split(data, seed=args.seed)
+
+    wm = bundle.wm
+    params = wm.init(jax.random.key(args.seed), jnp.zeros((1, 8), jnp.int32))
+    sched = optax.warmup_cosine_decay_schedule(0.0, 3e-4, 100, max(args.wm_steps, 101))
+    tx = optax.adamw(sched, weight_decay=0.01)
+    opt = tx.init(params)
+    rng = np.random.default_rng(args.seed)
+    B = 16
+
+    # The tokenizer is FROZEN in this phase: tokenize the whole pool ONCE
+    # (chunked) instead of re-encoding 9 conv frames per row per step —
+    # on the 1-core host that cut the WM step from ~5.5s to the LM fwd/bwd.
+    tokenize = make_segment_tokenizer(bundle, tok_params, ranges)
+    all_ids, all_labels = [], []
+    CH = 64
+    for i in range(0, len(data["actions"]), CH):
+        proc = tokenize(
+            data["raw_pixel_values"][i : i + CH], data["actions"][i : i + CH]
+        )
+        all_ids.append(np.asarray(proc["input_ids"]))
+        all_labels.append(np.asarray(proc["labels"]))
+    all_ids = np.concatenate(all_ids)
+    all_labels = np.concatenate(all_labels)
+
+    def batch_ids(idx_pool):
+        rows = idx_pool[rng.integers(0, len(idx_pool), B)]
+        return jnp.asarray(all_ids[rows]), jnp.asarray(all_labels[rows])
+
+    @jax.jit
+    def step(params, opt, ids, labels):
+        def loss_fn(p):
+            logits, _, _ = wm.apply(p, ids[:, :-1])
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            tgt = labels[:, 1:]
+            valid = tgt != -100
+            nll = -jnp.take_along_axis(lp, tgt.clip(0)[..., None], axis=-1)[..., 0]
+            return (nll * valid).sum() / valid.sum()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    @jax.jit
+    def eval_loss(params, ids, labels):
+        logits, _, _ = wm.apply(params, ids[:, :-1])
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tgt = labels[:, 1:]
+        valid = tgt != -100
+        nll = -jnp.take_along_axis(lp, tgt.clip(0)[..., None], axis=-1)[..., 0]
+        return (nll * valid).sum() / valid.sum()
+
+    t0 = time.time()
+    for it in range(args.wm_steps):
+        ids, labels = batch_ids(tr_idx)
+        params, opt, loss = step(params, opt, ids, labels)
+        if it % 200 == 0 or it == args.wm_steps - 1:
+            vids, vlabels = batch_ids(va_idx)
+            vl = float(eval_loss(params, vids, vlabels))
+            print(f"[wm {it}] ce {float(loss):.4f} val_ce {vl:.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    save_tree(os.path.join(args.workdir, "wm.npz"), params)
+    print(f"[wm] saved ({time.time()-t0:.0f}s)", flush=True)
+
+
+def phase_wmcheck(args):
+    """WM-reward vs env-truth: for val segments, perturb the executed actions
+    at graded scales, (a) re-execute them in MuJoCo from the recorded sim
+    state -> TRUE future-frame error, (b) roll the WM with the same actions
+    -> WM reward.  Report Spearman rank correlation + per-scale monotonicity."""
+    import jax
+    import jax.numpy as jnp
+
+    from vla_rft_tpu.data.push_data import load_segments, resize_uint8, train_val_split
+    from vla_rft_tpu.data.synthetic import default_action_ranges
+    from vla_rft_tpu.eval.mujoco_push_env import MujocoPushEnv
+    from vla_rft_tpu.workers import wm_rollout
+    from vla_rft_tpu.workers.reward import msp_reward
+
+    cfg, bundle = build_push_bundle(args)
+    data = load_segments(os.path.join(args.workdir, "segments.npz"))
+    tok_params = load_tree(
+        os.path.join(args.workdir, "tokenizer.npz"),
+        bundle.tokenizer.init(jax.random.key(0), jnp.zeros((1, 4, 32, 32, 3))),
+    )
+    wm_params = load_tree(
+        os.path.join(args.workdir, "wm.npz"),
+        bundle.wm.init(jax.random.key(0), jnp.zeros((1, 8), jnp.int32)),
+    )
+    lpips_params = bundle.lpips.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3))
+    )
+    ranges = jnp.asarray(default_action_ranges(7))
+    _, va_idx = train_val_split(data, seed=args.seed)
+    rng = np.random.default_rng(args.seed + 7)
+
+    scales = [0.0, 0.15, 0.3, 0.6, 1.2]
+    n_seg = min(args.check_segments, len(va_idx))
+    rows = va_idx[:n_seg]
+
+    # one flat batch: n_seg segments x len(scales) action variants
+    acts, true_err, seg_of = [], [], []
+    envs = {t: MujocoPushEnv(t, camera_heights=128, camera_widths=128)
+            for t in range(3)}
+    for r in rows:
+        base = data["actions"][r]
+        real = data["raw_pixel_values"][r, 1:].astype(np.float32) / 255.0
+        for s in scales:
+            a = np.clip(base + s * rng.normal(size=base.shape).astype(np.float32), -1, 1)
+            env = envs[int(data["task_id"][r])]
+            env.reset()
+            env.set_init_state(data["sim_states"][r])
+            frames = []
+            for step_a in a:
+                obs, _, _, _ = env.step(step_a.tolist())
+                frames.append(
+                    resize_uint8(obs["agentview_image"][::-1, ::-1], 32)
+                )
+            tru = np.stack(frames).astype(np.float32) / 255.0
+            acts.append(a)
+            true_err.append(float(np.abs(tru - real).mean()))
+            seg_of.append(r)
+    acts = np.stack(acts)  # (M, 8, 7)
+    M = len(acts)
+
+    # WM rollout for every variant, teacher-forced action tokens
+    frames_rep = data["raw_pixel_values"][np.asarray(seg_of)]
+    proc = make_segment_tokenizer(bundle, tok_params, ranges)(frames_rep, acts)
+    roll = bundle.wm_roll_cfg
+    prompt = proc["input_ids"][:, : roll.prompt_length]
+    rewards = []
+    bs = 20
+    gen = jax.jit(
+        lambda p, r, ids, a: wm_rollout.generate_sequences(
+            bundle.wm, p, r, ids, a, roll
+        )
+    )
+    rew = jax.jit(
+        lambda tp, lp, resp, ctx, rf: msp_reward(
+            bundle.tokenizer, tp, bundle.lpips, lp, bundle.proc_cfg,
+            bundle.reward_cfg, resp, ctx, real_frames=rf, gt_responses=None,
+        )
+    )
+    px_real = frames_rep[:, 1:].astype(np.float32) / 255.0
+    for i in range(0, M, bs):
+        sl = slice(i, min(i + bs, M))
+        responses = gen(
+            wm_params, jax.random.key(i), jnp.asarray(prompt[sl]),
+            jnp.asarray(proc["action_ids"][sl]),
+        )
+        r, _ = rew(
+            tok_params, lpips_params, responses,
+            jnp.asarray(proc["ctx_tokens"][sl]), jnp.asarray(px_real[sl]),
+        )
+        rewards += np.asarray(jnp.sum(r, -1), np.float32).tolist()
+        print(f"[wmcheck] {min(i+bs, M)}/{M}", flush=True)
+    rewards = np.asarray(rewards)
+    true_err = np.asarray(true_err)
+
+    def spearman(a, b):
+        ra = np.argsort(np.argsort(a)).astype(np.float64)
+        rb = np.argsort(np.argsort(b)).astype(np.float64)
+        ra -= ra.mean(); rb -= rb.mean()
+        return float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum()))
+
+    rho = spearman(rewards, -true_err)
+    by_scale = {}
+    k = len(scales)
+    for j, s in enumerate(scales):
+        by_scale[str(s)] = {
+            "wm_reward": round(float(rewards[j::k].mean()), 4),
+            "true_mae": round(float(true_err[j::k].mean()), 4),
+        }
+    mono = all(
+        by_scale[str(scales[j])]["wm_reward"] >= by_scale[str(scales[j + 1])]["wm_reward"]
+        for j in range(k - 1)
+    )
+    out = {
+        "spearman_reward_vs_true": round(rho, 3),
+        "reward_monotone_in_noise": bool(mono),
+        "by_noise_scale": by_scale,
+        "n_segments": n_seg,
+        "variants_per_segment": k,
+    }
+    with open(os.path.join(args.workdir, "wmcheck.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"[wmcheck] {json.dumps(out)}", flush=True)
+
+
+def phase_bc(args):
+    import jax
+    import jax.numpy as jnp
+
+    from vla_rft_tpu.data.push_data import PushSegmentDataset, load_segments, train_val_split
+    from vla_rft_tpu.models.factory import fast_random_params
+    from vla_rft_tpu.trainer.sft_trainer import VLAAdapterSFTTrainer
+
+    cfg, bundle = build_push_bundle(args)
+    data = load_segments(os.path.join(args.workdir, "segments.npz"))
+    tr_idx, va_idx = train_val_split(data, seed=args.seed)
+    if args.bc_fraction < 1.0:  # deliberately weak BC: less data
+        tr_idx = tr_idx[: max(8, int(len(tr_idx) * args.bc_fraction))]
+    ds = PushSegmentDataset(
+        data, batch_size=16, seed=args.seed, expert_targets=True, indices=tr_idx
+    )
+    val_ds = PushSegmentDataset(
+        data, batch_size=32, seed=args.seed + 1, expert_targets=True, indices=va_idx
+    )
+    params = fast_random_params(bundle, args.seed)
+    trainer = VLAAdapterSFTTrainer(
+        bundle.vla, bundle.expert, params["vla"], params["expert"],
+        lr=3e-4, expert_lr=1e-3,
+    )
+    rng = jax.random.key(args.seed)
+    t0 = time.time()
+    for step in range(1, args.bc_steps + 1):
+        b = {k: jnp.asarray(v) for k, v in ds.next_batch().items() if k != "sim_states"}
+        rng, sub = jax.random.split(rng)
+        loss = trainer.training_step(
+            sub,
+            {
+                "input_ids": b["input_ids"],
+                "attention_mask": b["attention_mask"],
+                "labels": b["labels"],
+                "pixels": b["pixel_values"],
+                "proprio": b["proprio"],
+                "actions": b["actions"],
+            },
+        )
+        if step % 100 == 0 or step == args.bc_steps:
+            print(f"[bc {step}] flow_bc {float(loss):.4f} ({time.time()-t0:.0f}s)",
+                  flush=True)
+    save_tree(os.path.join(args.workdir, "bc_vla.npz"), trainer.params["vla"])
+    save_tree(os.path.join(args.workdir, "bc_expert.npz"), trainer.params["expert"])
+    print(f"[bc] saved ({time.time()-t0:.0f}s)", flush=True)
+
+
+def _eval_policy(args, vla_params, expert_params, episodes_per_task=10, tag=""):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from vla_rft_tpu.data.push_data import resize_uint8
+    from vla_rft_tpu.eval.libero_eval import quat2axisangle
+    from vla_rft_tpu.eval.mujoco_push_env import make_push_env
+    from vla_rft_tpu.workers.predict import predict_action
+
+    _, bundle = build_push_bundle(args)
+    jit_predict = jax.jit(
+        functools.partial(predict_action, bundle.vla, bundle.expert),
+        static_argnames=("num_flow_steps",),
+    )
+    successes, total = 0, 0
+    for task_id in range(3):
+        env, _, init_states = make_push_env(
+            task_id, resolution=128, num_init_states=episodes_per_task,
+            seed=args.seed + 100,  # held-out init states
+        )
+        for ep in range(episodes_per_task):
+            env.reset()
+            obs = env.set_init_state(init_states[ep % len(init_states)])
+            done = False
+            for _ in range(args.eval_max_steps // 8):
+                img = resize_uint8(obs["agentview_image"][::-1, ::-1], 64)
+                proprio = np.concatenate([
+                    obs["robot0_eef_pos"],
+                    quat2axisangle(obs["robot0_eef_quat"]),
+                    obs["robot0_gripper_qpos"],
+                ])[None]
+                batch = _policy_batch(None, img[None], proprio)
+                chunk = np.asarray(
+                    jit_predict(
+                        vla_params, expert_params, jax.random.key(0),
+                        {k: jnp.asarray(v) for k, v in batch.items()},
+                        num_flow_steps=10,
+                    ),
+                    np.float32,
+                )[0]
+                for a in np.clip(chunk, -1, 1):
+                    obs, _, done, _ = env.step(a.tolist())
+                    if done:
+                        break
+                if done:
+                    break
+            successes += int(done)
+            total += 1
+        print(f"[eval{tag}] task {task_id}: cumulative {successes}/{total}", flush=True)
+    return successes / total
+
+
+def phase_evalpolicy(args):
+    import jax
+    import jax.numpy as jnp
+
+    from vla_rft_tpu.models.factory import fast_random_params
+
+    _, bundle = build_push_bundle(args)
+    like = fast_random_params(bundle, 0)
+    vla_p = load_tree(os.path.join(args.workdir, args.policy_vla), like["vla"])
+    exp_p = load_tree(os.path.join(args.workdir, args.policy_expert), like["expert"])
+    sr = _eval_policy(args, vla_p, exp_p, episodes_per_task=args.eval_episodes)
+    print(json.dumps({"success_rate": sr, "policy": args.policy_expert}), flush=True)
+
+
+def phase_rft(args):
+    import jax
+    import jax.numpy as jnp
+
+    from vla_rft_tpu.data.push_data import PushSegmentDataset, load_segments, train_val_split
+    from vla_rft_tpu.models.factory import fast_random_params
+    from vla_rft_tpu.parallel.mesh import MeshConfig, make_mesh
+    from vla_rft_tpu.trainer.grpo_trainer import VLARFTGRPOTrainer
+
+    cfg, bundle = build_push_bundle(args)
+    data = load_segments(os.path.join(args.workdir, "segments.npz"))
+    tr_idx, va_idx = train_val_split(data, seed=args.seed)
+    # RFT batches: CLEAN expert segments only — their recorded futures are
+    # the outcomes the reward should pull the policy toward (the reference
+    # trains on LIBERO demo data the same way)
+    clean = np.asarray(data["noise_scale"]) == 0.0
+    tr_clean = tr_idx[clean[tr_idx]]
+    va_clean = va_idx[clean[va_idx]]
+    if len(tr_clean) == 0:  # tiny smoke datasets may have no clean rows
+        tr_clean = tr_idx
+    if len(va_clean) == 0:
+        va_clean = va_idx
+    ds = PushSegmentDataset(
+        data, batch_size=cfg.data.train_batch_size, seed=args.seed, indices=tr_clean
+    )
+    val_ds = PushSegmentDataset(
+        data, batch_size=cfg.data.train_batch_size, seed=args.seed + 1,
+        indices=va_clean,
+    )
+
+    like = fast_random_params(bundle, 0)
+    params = {
+        "vla": load_tree(os.path.join(args.workdir, "bc_vla.npz"), like["vla"]),
+        "expert": load_tree(os.path.join(args.workdir, "bc_expert.npz"), like["expert"]),
+        "wm": load_tree(os.path.join(args.workdir, "wm.npz"), like["wm"]),
+        "tokenizer": load_tree(os.path.join(args.workdir, "tokenizer.npz"), like["tokenizer"]),
+        "lpips": like["lpips"],  # unused: loss_weight.lpips = 0
+    }
+    trainer = VLARFTGRPOTrainer(
+        cfg, preset="push", mesh=make_mesh(MeshConfig(dp=1)),
+        dataset=ds, val_dataset=val_ds, params=params, seed=args.seed,
+    )
+    rng = jax.random.key(args.seed + 1)
+    curve = []
+    v0 = trainer.validate()
+    curve.append({"step": 0, **{k: round(float(v), 5) for k, v in v0.items()}})
+    print(f"[rft 0] val {json.dumps(curve[-1])}", flush=True)
+    t0 = time.time()
+    batch = ds.next_batch()
+    for step in range(1, args.rft_steps + 1):
+        trainer.global_steps = step
+        nxt = ds.next_batch()
+        rng, sub = jax.random.split(rng)
+        metrics = trainer.training_step(batch, sub, next_batch_np=nxt)
+        batch = trainer._prefetched_batch
+        if step % 20 == 0 or step == args.rft_steps:
+            v = trainer.validate()
+            row = {
+                "step": step,
+                "train_reward": round(float(metrics.get("critic/rewards/mean", 0)), 5),
+                **{k: round(float(x), 5) for k, x in v.items()},
+            }
+            curve.append(row)
+            print(f"[rft {step}] {json.dumps(row)} ({time.time()-t0:.0f}s)", flush=True)
+    save_tree(os.path.join(args.workdir, "rft_expert.npz"), trainer.params["expert"])
+    with open(os.path.join(args.workdir, "rft_curve.json"), "w") as f:
+        json.dump(curve, f, indent=1)
+    print(f"[rft] done in {time.time()-t0:.0f}s", flush=True)
+
+
+def phase_report(args):
+    import jax
+
+    from vla_rft_tpu.models.factory import fast_random_params
+
+    _, bundle = build_push_bundle(args)
+    like = fast_random_params(bundle, 0)
+    vla_p = load_tree(os.path.join(args.workdir, "bc_vla.npz"), like["vla"])
+    bc_exp = load_tree(os.path.join(args.workdir, "bc_expert.npz"), like["expert"])
+    rft_exp = load_tree(os.path.join(args.workdir, "rft_expert.npz"), like["expert"])
+
+    sr_bc = _eval_policy(args, vla_p, bc_exp, episodes_per_task=args.eval_episodes, tag=":bc")
+    sr_rft = _eval_policy(args, vla_p, rft_exp, episodes_per_task=args.eval_episodes, tag=":rft")
+
+    with open(os.path.join(args.workdir, "rft_curve.json")) as f:
+        curve = json.load(f)
+    wmcheck = {}
+    wmc_path = os.path.join(args.workdir, "wmcheck.json")
+    if os.path.exists(wmc_path):
+        with open(wmc_path) as f:
+            wmcheck = json.load(f)
+    out = {
+        "metric": "push_env_success_rate",
+        "bc_baseline": sr_bc,
+        "after_rft": sr_rft,
+        "rft_steps": args.rft_steps,
+        "improved": sr_rft > sr_bc,
+        "val_reward_first": curve[0].get("val/reward"),
+        "val_reward_last": curve[-1].get("val/reward"),
+        "wm_check": wmcheck,
+        "episodes_per_task": args.eval_episodes,
+        "note": (
+            "reference claim shape: <400 RFT steps surpass the supervised "
+            "baseline (README.md:20), reproduced on MuJoCo push physics "
+            "with a fully TRAINED tokenizer/WM/policy stack"
+        ),
+    }
+    path = os.path.join(os.path.dirname(args.workdir.rstrip("/")), "RFT_EVIDENCE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("phase", choices=[
+        "collect", "tokenizer", "wm", "wmcheck", "bc", "evalpolicy", "rft",
+        "report", "all",
+    ])
+    p.add_argument("--workdir", default="artifacts/rft_evidence")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n-segments", type=int, default=1536)
+    p.add_argument("--tok-steps", type=int, default=3000)
+    p.add_argument("--wm-steps", type=int, default=4000)
+    p.add_argument("--check-segments", type=int, default=24)
+    p.add_argument("--bc-steps", type=int, default=800)
+    p.add_argument("--bc-fraction", type=float, default=1.0)
+    p.add_argument("--rft-steps", type=int, default=400)
+    p.add_argument("--rft-lr", type=float, default=3e-5)
+    p.add_argument("--rollout-n", type=int, default=8)
+    p.add_argument("--eval-episodes", type=int, default=10)
+    p.add_argument("--eval-max-steps", type=int, default=220)
+    p.add_argument("--policy-vla", default="bc_vla.npz")
+    p.add_argument("--policy-expert", default="bc_expert.npz")
+    args = p.parse_args(argv)
+    os.makedirs(args.workdir, exist_ok=True)
+    _select_platform()
+
+    phases = (
+        ["collect", "tokenizer", "wm", "wmcheck", "bc", "rft", "report"]
+        if args.phase == "all"
+        else [args.phase]
+    )
+    for ph in phases:
+        globals()[f"phase_{ph}"](args)
+
+
+if __name__ == "__main__":
+    main()

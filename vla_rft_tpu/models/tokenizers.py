@@ -244,6 +244,44 @@ class CompressiveVQModelFSQ(nn.Module):
         idx_c, idx_d = self.tokenize(pixel_values)
         return self.detokenize(idx_c, idx_d)
 
+    def recon_train(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        """Differentiable reconstruction forward for TRAINING the tokenizer:
+        identical dataflow to tokenize+detokenize but carrying the FSQ
+        straight-through-estimator codes instead of integer indices, so
+        gradients reach the encoders (the reference trains its tokenizer the
+        same way — FSQ round-STE inside the autoencoder forward,
+        compressive_vq_model.py forward + finite_scalar_quantize.py round_ste).
+
+        pixel_values: (B, T, H, W, C) -> recon (B, T, H, W, C)
+        (frame 0 = decoded context, frames 1: = conditional dynamics).
+        """
+        B, T = pixel_values.shape[:2]
+        ch, cw = self.ctx_res
+        p = self.patch_size
+
+        ctx = pixel_values[:, 0]
+        fut = pixel_values[:, 1:].reshape(B * (T - 1), *pixel_values.shape[2:])
+
+        h, cond_feats = self.encoder(ctx, return_features=True)
+        h = self.quant_conv(h)
+        cond_feats_r = self._repeat_feats(cond_feats, T - 1)
+        d = self.cond_encoder(fut, cond_feats_r)
+        d = _patchify(d, p)
+        d = self.quant_linear(d)
+
+        quant_c, _ = self.quantize(h)  # STE codes (B, ch, cw, L)
+        quant_d, _ = self.dynamics_quantize(d)  # (B*(T-1), Nd, L)
+
+        quant2 = self.post_quant_conv(quant_c.astype(self.dtype))
+        context_dec, dec_feats = self.decoder(quant2, return_features=True)
+
+        quant2_d = self.post_quant_linear(quant_d.astype(self.dtype))
+        quant2_d = _depatchify(quant2_d, ch, cw, p, self.latent_channels)
+        feats = self._repeat_feats(dec_feats, T - 1)
+        dec = self.cond_decoder(quant2_d, feats)
+        dec = dec.reshape(B, T - 1, *dec.shape[1:])
+        return jnp.concatenate([context_dec[:, None], dec], axis=1)
+
 
 TOKENIZER = {
     "cnn": CNNFSQModel256,
