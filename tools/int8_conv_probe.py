@@ -18,12 +18,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench(fn, *args, reps=5):
-    out = np.asarray(fn(*args))  # compile + settle
+REPS = 16  # conv applications per timed dispatch
+
+
+def bench(fn, *args, reps=3):
+    """Times fn (which runs REPS dependent convs in ONE jit and reduces to a
+    scalar) — per-call downloads through the ~1.2MB/s tunnel poison any
+    benchmark that materializes a full tensor per rep."""
+    float(fn(*args))  # compile + settle
     t0 = time.time()
     for _ in range(reps):
-        out = np.asarray(fn(*args))
-    return (time.time() - t0) / reps
+        float(fn(*args))
+    return (time.time() - t0) / reps / REPS
 
 
 def main():
@@ -41,17 +47,29 @@ def main():
 
         @jax.jit
         def conv_bf16(x, w):
-            return jax.lax.conv_general_dilated(
-                x, w, (1, 1), "SAME", dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-            )
+            def body(h, _):
+                y = jax.lax.conv_general_dilated(
+                    h, w, (1, 1), "SAME", dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                )
+                # renormalize so the chain stays finite (dependent -> the
+                # compiler cannot elide any iteration)
+                return (y * jnp.float32(0.01)).astype(jnp.bfloat16), None
+
+            h, _ = jax.lax.scan(body, x, None, length=REPS)
+            return jnp.sum(h.astype(jnp.float32))
 
         @jax.jit
         def conv_int8(x, w):
-            return jax.lax.conv_general_dilated(
-                x, w, (1, 1), "SAME", dimension_numbers=dn,
-                preferred_element_type=jnp.int32,
-            )
+            def body(h, _):
+                y = jax.lax.conv_general_dilated(
+                    h, w, (1, 1), "SAME", dimension_numbers=dn,
+                    preferred_element_type=jnp.int32,
+                )
+                return jnp.clip(y // 128, -127, 127).astype(jnp.int8), None
+
+            h, _ = jax.lax.scan(body, x, None, length=REPS)
+            return jnp.sum(h.astype(jnp.int32))
 
         tb = bench(conv_bf16, xb, wb)
         ti = bench(conv_int8, x8, w8)

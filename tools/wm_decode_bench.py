@@ -114,10 +114,32 @@ def main():
             print(f"[profile] trace written to {args.profile}", flush=True)
         best = min(times)
         fps = B * roll.num_frames / best
+        # decode-stage MFU (VERDICT r3 item 2): model FLOPs of every emitted
+        # position (prefill tokens at their true seqlen + each decoded token
+        # at its cache length) / best time / bf16 peak.  Decode is expected
+        # to be HBM-bound, so also report cache-read bandwidth utilization.
+        from vla_rft_tpu.utils.flops_counter import FlopsCounter
+
+        fc = FlopsCounter(cfg)
+        S0 = roll.prompt_length
+        n_dec = roll.num_frames * (roll.interact_max_tokens + roll.action_dim)
+        tok_flops = B * (
+            sum(fc.flops_per_token(s) for s in range(1, S0 + 1))
+            + sum(fc.flops_per_token(S0 + i) for i in range(1, n_dec + 1))
+        )
+        mfu = tok_flops / best / fc.peak
+        kv_bytes = 1 if args.kv_dtype == "int8" else 2
+        total_len = S0 + n_dec
+        # each decode step re-reads the valid cache prefix (k+v) per layer
+        cache_reads = (
+            B * cfg.num_layers * 2 * cfg.num_kv_heads * cfg.hd * kv_bytes
+            * sum(S0 + i for i in range(n_dec))
+        )
+        hbm_util = cache_reads / best / 400e9  # practical v5e roofline
         print(
             f"[{tag}] B={B} best {best:.2f}s  "
             f"{best/ (roll.num_frames*(roll.interact_max_tokens+1))*1e3:.2f} ms/step  "
-            f"{fps:.1f} frames/s",
+            f"{fps:.1f} frames/s  mfu {mfu:.4f}  cache-read bw util {hbm_util:.2f}",
             flush=True,
         )
 
