@@ -180,22 +180,35 @@ def phase_tokenizer(args):
     tx = optax.adam(1e-3)
     opt = tx.init(params)
 
-    @jax.jit
-    def step(params, opt, px):
-        def loss_fn(p):
-            rec = tok.apply(p, px, method=tok.recon_train)
-            return jnp.mean((rec - px) ** 2)
+    # K optimizer steps per dispatch (lax.scan over pre-sampled batches):
+    # remote-tunnel round-trip latency (~0.25s) dominates tiny-model steps,
+    # so host-stepped loops train ~25x slower than this
+    K = 25
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, opt = tx.update(grads, opt)
-        return optax.apply_updates(params, upd), opt, loss
+    @jax.jit
+    def multi_step(params, opt, px_block):
+        def body(carry, px):
+            params, opt = carry
+
+            def loss_fn(p):
+                rec = tok.apply(p, px, method=tok.recon_train)
+                return jnp.mean((rec - px) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt = tx.update(grads, opt)
+            return (optax.apply_updates(params, upd), opt), loss
+
+        (params, opt), losses = jax.lax.scan(body, (params, opt), px_block)
+        return params, opt, losses[-1]
 
     t0 = time.time()
-    for it in range(args.tok_steps):
-        params, opt, loss = step(params, opt, jnp.asarray(sample_batch()))
-        if it % 200 == 0 or it == args.tok_steps - 1:
+    n_blocks = max(1, args.tok_steps // K)
+    for blk in range(n_blocks):
+        px_block = jnp.asarray(np.stack([sample_batch() for _ in range(K)]))
+        params, opt, loss = multi_step(params, opt, px_block)
+        if blk % 8 == 0 or blk == n_blocks - 1:
             psnr = -10 * np.log10(max(float(loss), 1e-9))
-            print(f"[tokenizer {it}] mse {float(loss):.5f} psnr {psnr:.1f}dB "
+            print(f"[tokenizer {(blk+1)*K}] mse {float(loss):.5f} psnr {psnr:.1f}dB "
                   f"({time.time()-t0:.0f}s)", flush=True)
     save_tree(os.path.join(args.workdir, "tokenizer.npz"), params)
     print(f"[tokenizer] saved ({time.time()-t0:.0f}s)", flush=True)
@@ -267,19 +280,29 @@ def phase_wm(args):
         rows = idx_pool[rng.integers(0, len(idx_pool), B)]
         return jnp.asarray(all_ids[rows]), jnp.asarray(all_labels[rows])
 
-    @jax.jit
-    def step(params, opt, ids, labels):
-        def loss_fn(p):
-            logits, _, _ = wm.apply(p, ids[:, :-1])
-            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            tgt = labels[:, 1:]
-            valid = tgt != -100
-            nll = -jnp.take_along_axis(lp, tgt.clip(0)[..., None], axis=-1)[..., 0]
-            return (nll * valid).sum() / valid.sum()
+    def loss_fn(p, ids, labels):
+        logits, _, _ = wm.apply(p, ids[:, :-1])
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tgt = labels[:, 1:]
+        valid = tgt != -100
+        nll = -jnp.take_along_axis(lp, tgt.clip(0)[..., None], axis=-1)[..., 0]
+        return (nll * valid).sum() / valid.sum()
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, opt = tx.update(grads, opt, params)
-        return optax.apply_updates(params, upd), opt, loss
+    K = 25  # steps per dispatch — see phase_tokenizer
+
+    @jax.jit
+    def multi_step(params, opt, ids_block, labels_block):
+        def body(carry, xs):
+            params, opt = carry
+            ids, labels = xs
+            loss, grads = jax.value_and_grad(loss_fn)(params, ids, labels)
+            upd, opt = tx.update(grads, opt, params)
+            return (optax.apply_updates(params, upd), opt), loss
+
+        (params, opt), losses = jax.lax.scan(
+            body, (params, opt), (ids_block, labels_block)
+        )
+        return params, opt, losses[-1]
 
     @jax.jit
     def eval_loss(params, ids, labels):
@@ -291,13 +314,16 @@ def phase_wm(args):
         return (nll * valid).sum() / valid.sum()
 
     t0 = time.time()
-    for it in range(args.wm_steps):
-        ids, labels = batch_ids(tr_idx)
-        params, opt, loss = step(params, opt, ids, labels)
-        if it % 200 == 0 or it == args.wm_steps - 1:
+    n_blocks = max(1, args.wm_steps // K)
+    for blk in range(n_blocks):
+        rows = tr_idx[rng.integers(0, len(tr_idx), (K, B))]
+        params, opt, loss = multi_step(
+            params, opt, jnp.asarray(all_ids[rows]), jnp.asarray(all_labels[rows])
+        )
+        if blk % 8 == 0 or blk == n_blocks - 1:
             vids, vlabels = batch_ids(va_idx)
             vl = float(eval_loss(params, vids, vlabels))
-            print(f"[wm {it}] ce {float(loss):.4f} val_ce {vl:.4f} "
+            print(f"[wm {(blk+1)*K}] ce {float(loss):.4f} val_ce {vl:.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
     save_tree(os.path.join(args.workdir, "wm.npz"), params)
     print(f"[wm] saved ({time.time()-t0:.0f}s)", flush=True)
@@ -424,6 +450,11 @@ def phase_wmcheck(args):
     }
     with open(os.path.join(args.workdir, "wmcheck.json"), "w") as f:
         json.dump(out, f, indent=1)
+    np.savez(
+        os.path.join(args.workdir, "wmcheck_raw.npz"),
+        rewards=rewards, true_err=true_err, seg_of=np.asarray(seg_of),
+        scales=np.asarray(scales),
+    )
     print(f"[wmcheck] {json.dumps(out)}", flush=True)
 
 

@@ -51,11 +51,19 @@ _PUSH_XML = """
 
 class _PinholeCamera:
     """Fixed perspective camera: world -> 2D pixel projection (the software
-    'agentview')."""
+    'agentview').  The default is a near-top-down zoom framing the ±0.30
+    task workspace: at low WM resolutions (32x32) the original oblique view
+    (eye (0.85,0,0.75), f=1.2*res) left the cube under 2 pixels wide, which
+    starves a world model of any action-conditioned visual signal."""
 
-    def __init__(self, res: int):
+    def __init__(
+        self,
+        res: int,
+        eye: Tuple[float, float, float] = (0.08, 0.0, 0.75),
+        f_mult: float = 1.12,
+    ):
         self.res = res
-        self.eye = np.array([0.85, 0.0, 0.75])
+        self.eye = np.array(eye, np.float64)
         look = np.array([0.0, 0.0, 0.0])
         fwd = look - self.eye
         fwd = fwd / np.linalg.norm(fwd)
@@ -63,7 +71,7 @@ class _PinholeCamera:
         right /= np.linalg.norm(right)
         up = np.cross(right, fwd)
         self.rot = np.stack([right, up, fwd])  # world->cam rows
-        self.f = res * 1.2  # focal in pixels
+        self.f = res * f_mult  # focal in pixels
 
     def project(self, pts: np.ndarray) -> np.ndarray:
         """(N,3) world -> (N,2) pixel (x right, y down)."""
@@ -109,6 +117,8 @@ class MujocoPushEnv:
         target_radius: float = 0.07,
         action_scale: float = 0.02,
         sim_steps_per_action: int = 10,
+        visual_cube_half: float = 0.045,
+        visual_pusher_r: float = 0.035,
     ):
         import mujoco  # deferred heavy import (CPU-only)
 
@@ -134,6 +144,8 @@ class MujocoPushEnv:
         self._cube_jnt_qpos = self.model.jnt_qposadr[
             mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_JOINT, "cube_free")
         ]
+        self.visual_cube_half = visual_cube_half
+        self.visual_pusher_r = visual_pusher_r
         self._cam = _PinholeCamera(self.res)
         self._grip = 0.04  # virtual 2-finger opening, driven by action[6]
         mujoco.mj_forward(self.model, self.data)
@@ -235,8 +247,13 @@ class MujocoPushEnv:
         )
         poly(ring, (40, 190, 40))  # target zone
 
+        # visual marker sizes are LARGER than the physical geoms (cube half
+        # 0.025, pusher r 0.02): a fiducial-marker-style observation choice
+        # so the objects survive 32x32 WM downsampling; physics, the scripted
+        # expert's clearances, and success detection are untouched
         corners = _box_corners(
-            self.cube_pos, np.array(self.data.xquat[self._cube_bid]), 0.025
+            self.cube_pos, np.array(self.data.xquat[self._cube_bid]),
+            self.visual_cube_half,
         )
         # painter's order: top face last; faces as corner-index quads
         faces = [
@@ -253,7 +270,12 @@ class MujocoPushEnv:
 
         mp = self.data.mocap_pos[0]
         c = self._cam.project(mp[None, :])[0]
-        r = max(3.0, self._cam.f * 0.02 / max(np.linalg.norm(mp - self._cam.eye), 1e-3))
+        r = max(
+            3.0,
+            self._cam.f
+            * self.visual_pusher_r
+            / max(np.linalg.norm(mp - self._cam.eye), 1e-3),
+        )
         draw.ellipse([c[0] - r, c[1] - r, c[0] + r, c[1] + r], fill=(50, 70, 230))
         return np.asarray(img, np.uint8)
 
