@@ -266,7 +266,9 @@ def phase_wm(args):
     # on the 1-core host that cut the WM step from ~5.5s to the LM fwd/bwd.
     tokenize = make_segment_tokenizer(bundle, tok_params, ranges)
     all_ids, all_labels = [], []
-    CH = 64
+    # big chunks: per-dispatch tunnel overhead (~5-10s) dominates far over
+    # the ~7MB/chunk transfer, so fewer+larger dispatches win
+    CH = 512
     for i in range(0, len(data["actions"]), CH):
         proc = tokenize(
             data["raw_pixel_values"][i : i + CH], data["actions"][i : i + CH]
@@ -408,6 +410,17 @@ def phase_wmcheck(args):
         )
     )
     px_real = frames_rep[:, 1:].astype(np.float32) / 255.0
+    # sampling-free diagnostic: teacher-forced WM logprob of the REAL
+    # recorded future tokens given each action variant, dyn positions only
+    # (action positions are teacher-forced inputs, not WM predictions we
+    # care about) — isolates action-conditioning from rollout sampling noise
+    tpf = bundle.proc_cfg.tokens_per_frame
+    resp_len = proc["input_ids"].shape[1] - roll.prompt_length
+    dyn_mask = (np.arange(resp_len) % (tpf + 7)) < tpf
+    lp_fn = jax.jit(
+        lambda p, ids: wm_rollout.compute_log_prob(bundle.wm, p, ids, resp_len)
+    )
+    lls = []
     for i in range(0, M, bs):
         sl = slice(i, min(i + bs, M))
         responses = gen(
@@ -419,8 +432,13 @@ def phase_wmcheck(args):
             jnp.asarray(proc["ctx_tokens"][sl]), jnp.asarray(px_real[sl]),
         )
         rewards += np.asarray(jnp.sum(r, -1), np.float32).tolist()
+        lp = lp_fn(wm_params, jnp.asarray(proc["input_ids"][sl]))
+        lls += np.asarray(
+            (np.asarray(lp) * dyn_mask).sum(-1) / dyn_mask.sum(), np.float32
+        ).tolist()
         print(f"[wmcheck] {min(i+bs, M)}/{M}", flush=True)
     rewards = np.asarray(rewards)
+    lls = np.asarray(lls)
     true_err = np.asarray(true_err)
 
     def spearman(a, b):
@@ -430,11 +448,13 @@ def phase_wmcheck(args):
         return float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum()))
 
     rho = spearman(rewards, -true_err)
+    rho_ll = spearman(lls, -true_err)
     by_scale = {}
     k = len(scales)
     for j, s in enumerate(scales):
         by_scale[str(s)] = {
             "wm_reward": round(float(rewards[j::k].mean()), 4),
+            "wm_dyn_logprob": round(float(lls[j::k].mean()), 4),
             "true_mae": round(float(true_err[j::k].mean()), 4),
         }
     mono = all(
@@ -443,6 +463,7 @@ def phase_wmcheck(args):
     )
     out = {
         "spearman_reward_vs_true": round(rho, 3),
+        "spearman_dyn_logprob_vs_true": round(rho_ll, 3),
         "reward_monotone_in_noise": bool(mono),
         "by_noise_scale": by_scale,
         "n_segments": n_seg,
@@ -452,8 +473,8 @@ def phase_wmcheck(args):
         json.dump(out, f, indent=1)
     np.savez(
         os.path.join(args.workdir, "wmcheck_raw.npz"),
-        rewards=rewards, true_err=true_err, seg_of=np.asarray(seg_of),
-        scales=np.asarray(scales),
+        rewards=rewards, true_err=true_err, lls=lls,
+        seg_of=np.asarray(seg_of), scales=np.asarray(scales),
     )
     print(f"[wmcheck] {json.dumps(out)}", flush=True)
 
