@@ -264,19 +264,25 @@ def phase_wm(args):
     # The tokenizer is FROZEN in this phase: tokenize the whole pool ONCE
     # (chunked) instead of re-encoding 9 conv frames per row per step —
     # on the 1-core host that cut the WM step from ~5.5s to the LM fwd/bwd.
-    tokenize = make_segment_tokenizer(bundle, tok_params, ranges)
-    all_ids, all_labels = [], []
-    # big chunks: per-dispatch tunnel overhead (~5-10s) dominates far over
-    # the ~7MB/chunk transfer, so fewer+larger dispatches win
-    CH = 512
-    for i in range(0, len(data["actions"]), CH):
-        proc = tokenize(
-            data["raw_pixel_values"][i : i + CH], data["actions"][i : i + CH]
-        )
-        all_ids.append(np.asarray(proc["input_ids"]))
-        all_labels.append(np.asarray(proc["labels"]))
-    all_ids = np.concatenate(all_ids)
-    all_labels = np.concatenate(all_labels)
+    tok_cache = os.path.join(args.workdir, "wm_tokens.npz")
+    if os.path.exists(tok_cache):
+        with np.load(tok_cache) as z:
+            all_ids, all_labels = z["ids"], z["labels"]
+    else:
+        tokenize = make_segment_tokenizer(bundle, tok_params, ranges)
+        all_ids, all_labels = [], []
+        # big chunks: per-dispatch tunnel overhead (~5-10s) dominates far
+        # over the ~7MB/chunk transfer, so fewer+larger dispatches win
+        CH = 512
+        for i in range(0, len(data["actions"]), CH):
+            proc = tokenize(
+                data["raw_pixel_values"][i : i + CH], data["actions"][i : i + CH]
+            )
+            all_ids.append(np.asarray(proc["input_ids"]))
+            all_labels.append(np.asarray(proc["labels"]))
+        all_ids = np.concatenate(all_ids)
+        all_labels = np.concatenate(all_labels)
+        np.savez(tok_cache, ids=all_ids, labels=all_labels)
 
     def batch_ids(idx_pool):
         rows = idx_pool[rng.integers(0, len(idx_pool), B)]
