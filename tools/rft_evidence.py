@@ -59,6 +59,22 @@ def _select_platform():
 
 
 # ----------------------------------------------------------------- utilities
+def _inputs_fingerprint(*paths: str) -> str:
+    """Cheap content fingerprint (size+mtime_ns per input) used to invalidate
+    derived caches (wm_tokens.npz) when segments/tokenizer are regenerated."""
+    parts = []
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def _drop_stale_token_cache(workdir: str) -> None:
+    cache = os.path.join(workdir, "wm_tokens.npz")
+    if os.path.exists(cache):
+        os.remove(cache)
+
+
 def save_tree(path: str, tree) -> None:
     import jax
 
@@ -141,6 +157,7 @@ def phase_collect(args):
     )
     path = os.path.join(args.workdir, "segments.npz")
     save_segments(path, data)
+    _drop_stale_token_cache(args.workdir)
     frac_clean = float((data["noise_scale"] == 0).mean())
     print(
         f"[collect] {args.n_segments} segments in {time.time()-t0:.0f}s -> {path} "
@@ -211,6 +228,7 @@ def phase_tokenizer(args):
             print(f"[tokenizer {(blk+1)*K}] mse {float(loss):.5f} psnr {psnr:.1f}dB "
                   f"({time.time()-t0:.0f}s)", flush=True)
     save_tree(os.path.join(args.workdir, "tokenizer.npz"), params)
+    _drop_stale_token_cache(args.workdir)
     print(f"[tokenizer] saved ({time.time()-t0:.0f}s)", flush=True)
 
 
@@ -265,9 +283,20 @@ def phase_wm(args):
     # (chunked) instead of re-encoding 9 conv frames per row per step —
     # on the 1-core host that cut the WM step from ~5.5s to the LM fwd/bwd.
     tok_cache = os.path.join(args.workdir, "wm_tokens.npz")
+    fp = _inputs_fingerprint(
+        os.path.join(args.workdir, "segments.npz"),
+        os.path.join(args.workdir, "tokenizer.npz"),
+    )
+    cached = None
     if os.path.exists(tok_cache):
         with np.load(tok_cache) as z:
-            all_ids, all_labels = z["ids"], z["labels"]
+            if "fingerprint" in z.files and str(z["fingerprint"]) == fp:
+                cached = (z["ids"], z["labels"])
+            else:
+                print("[wm] wm_tokens.npz stale (inputs changed) — retokenizing",
+                      flush=True)
+    if cached is not None:
+        all_ids, all_labels = cached
     else:
         tokenize = make_segment_tokenizer(bundle, tok_params, ranges)
         all_ids, all_labels = [], []
@@ -282,7 +311,7 @@ def phase_wm(args):
             all_labels.append(np.asarray(proc["labels"]))
         all_ids = np.concatenate(all_ids)
         all_labels = np.concatenate(all_labels)
-        np.savez(tok_cache, ids=all_ids, labels=all_labels)
+        np.savez(tok_cache, ids=all_ids, labels=all_labels, fingerprint=fp)
 
     def batch_ids(idx_pool):
         rows = idx_pool[rng.integers(0, len(idx_pool), B)]

@@ -229,12 +229,34 @@ class PushSegmentDataset:
 
 
 def save_segments(path: str, data: Dict[str, np.ndarray]) -> None:
-    np.savez_compressed(path, **data)
+    from vla_rft_tpu.eval.mujoco_push_env import RENDER_VERSION
+
+    np.savez_compressed(
+        path, **data, render_version=np.int32(RENDER_VERSION)
+    )
 
 
 def load_segments(path: str) -> Dict[str, np.ndarray]:
+    from vla_rft_tpu.eval.mujoco_push_env import RENDER_VERSION
+
     with np.load(path) as z:
-        return {k: z[k] for k in z.files}
+        data = {k: z[k] for k in z.files}
+    ver = int(data.pop("render_version", -1))
+    if ver == -1:
+        import warnings
+
+        warnings.warn(
+            f"{path} predates render_version tagging (pre round-5); its "
+            f"frames may not match the current env renderer "
+            f"(RENDER_VERSION={RENDER_VERSION})."
+        )
+    elif ver != RENDER_VERSION:
+        raise ValueError(
+            f"{path} was collected with render_version={ver} but the env "
+            f"now renders version {RENDER_VERSION}; re-run `rft_evidence.py "
+            f"collect` (stale observation distribution)."
+        )
+    return data
 
 
 def train_val_split(

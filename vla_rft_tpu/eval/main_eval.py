@@ -10,6 +10,17 @@ import functools
 import json
 
 
+def _strict_bool(s: str) -> bool:
+    """Accept only {true,1,yes}/{false,0,no} (case-insensitive): a permissive
+    parser silently read `--center_crop 0` as True."""
+    v = s.lower()
+    if v in ("true", "1", "yes"):
+        return True
+    if v in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected true/false, got {s!r}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--task_suite_name", default="libero_spatial")
@@ -21,7 +32,7 @@ def main(argv=None):
     # reference defaults: 2 cameras (third-person + wrist) and eval-time
     # center crop (run_libero_eval.py:99,102)
     p.add_argument("--num_images_in_input", type=int, default=2)
-    p.add_argument("--center_crop", type=lambda s: s.lower() != "false", default=True)
+    p.add_argument("--center_crop", type=_strict_bool, default=True)
     p.add_argument("--preset", default="libero", help="model preset (tiny for CPU smoke)")
     args = p.parse_args(argv)
 

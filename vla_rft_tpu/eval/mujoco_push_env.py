@@ -49,6 +49,14 @@ _PUSH_XML = """
 """
 
 
+# Observation-distribution version: bumped whenever the camera framing,
+# marker sizes, or anything else that changes rendered pixels changes.
+# v1 = original oblique view (round-3 artifacts); v2 = round-4 near-top-down
+# zoom + enlarged cube/pusher markers.  Segment archives record this tag
+# (push_data.save_segments) so stale datasets are detected at load.
+RENDER_VERSION = 2
+
+
 class _PinholeCamera:
     """Fixed perspective camera: world -> 2D pixel projection (the software
     'agentview').  The default is a near-top-down zoom framing the ±0.30

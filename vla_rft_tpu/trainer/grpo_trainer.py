@@ -46,7 +46,32 @@ def _sync(tree) -> None:
 
     leaves = [l for l in _jax.tree_util.tree_leaves(tree) if hasattr(l, "ravel")]
     if leaves:
-        _jax.device_get(leaves[0].ravel()[:1])
+        arr = leaves[0]
+        if getattr(arr, "is_fully_addressable", True):
+            _jax.device_get(arr.ravel()[:1])
+        else:
+            # multihost: a global array's first element may live on another
+            # process; syncing on one LOCAL shard is the same barrier
+            _jax.device_get(arr.addressable_shards[0].data.ravel()[:1])
+
+
+def _global_get(tree):
+    """device_get that also works for arrays spanning processes (multihost):
+    gathers non-addressable arrays to every host via process_allgather so the
+    host-side metric math sees the FULL batch on all processes (the reference
+    reduces metrics over torch.distributed the same way, metric_utils.py)."""
+    import jax as _jax
+
+    if _jax.process_count() == 1:
+        return _jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def get(x):
+        if isinstance(x, _jax.Array) and not x.is_fully_addressable:
+            return multihost_utils.process_allgather(x, tiled=True)
+        return _jax.device_get(x)
+
+    return _jax.tree_util.tree_map(get, tree)
 
 import jax
 import jax.numpy as jnp
@@ -719,7 +744,7 @@ class VLARFTGRPOTrainer:
                             rm_acc.setdefault(k, []).append(v)
                     reward_tensor = jnp.concatenate(rew_chunks, axis=0)
                     _sync(reward_tensor)
-                    rm_np = jax.device_get(rm_acc)  # one transfer, not K*chunks
+                    rm_np = _global_get(rm_acc)  # one transfer, not K*chunks
                     metrics.update(
                         {k: float(np.mean(v)) for k, v in rm_np.items()}
                     )
@@ -740,8 +765,9 @@ class VLARFTGRPOTrainer:
             metrics.update(
                 compute_data_metrics(
                     # ONE batched device->host transfer (per-array np.asarray
-                    # inside would each pay a remote-runtime round trip)
-                    jax.device_get(
+                    # inside would each pay a remote-runtime round trip);
+                    # multihost-safe: allgathers process-spanning arrays
+                    _global_get(
                         {
                             "token_level_rewards": token_level_rewards,
                             "advantages": advantages,

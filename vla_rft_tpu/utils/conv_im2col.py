@@ -150,12 +150,21 @@ def conv2d_im2col(
 def enable_im2col_conv() -> None:
     """Patch jax.lax.conv_general_dilated with the im2col lowering
     (idempotent).  Flax nn.Conv resolves the symbol at call time, so every
-    model in the process inherits it."""
+    model in the process inherits it.
+
+    Caveats (this is a process-wide monkeypatch, opt-in by design):
+    - modules that bound the symbol directly (`from jax.lax import
+      conv_general_dilated`) keep the native conv — none in this repo do;
+    - functions traced while a different impl was active keep that lowering
+      in jit caches, so BOTH toggles clear jax's compilation caches to keep
+      the process impl-consistent (prewarmed on-disk caches are unaffected).
+    """
     global _NATIVE_CONV
     if _NATIVE_CONV is not None:
         return
     _NATIVE_CONV = jax.lax.conv_general_dilated
     jax.lax.conv_general_dilated = conv2d_im2col
+    jax.clear_caches()
 
 
 def disable_im2col_conv() -> None:
@@ -163,6 +172,7 @@ def disable_im2col_conv() -> None:
     if _NATIVE_CONV is not None:
         jax.lax.conv_general_dilated = _NATIVE_CONV
         _NATIVE_CONV = None
+        jax.clear_caches()
 
 
 import os  # noqa: E402
