@@ -255,3 +255,24 @@ def test_advantage_estimator_dispatch(trainer):
     finally:
         trainer.config.algorithm.adv_estimator = orig
         trainer._build_stage_fns()
+
+
+def test_wm_logprob_reward_path(tmp_path_factory):
+    """EXTENSION reward (trainer.reward_fn="wm_logprob"): steps 5-6 collapse
+    into one teacher-forced WM forward; the step must run end to end with
+    finite metrics, emit the wm_dyn_logprob metric, and produce NON-constant
+    rewards across rollouts (the reward must be able to rank actions)."""
+    c = _tiny_config(tmp_path_factory.mktemp("rft_wmlp"))
+    c.trainer.reward_fn = "wm_logprob"
+    c.world_model_rollout.rollout.w_gt_ac = False
+    c.processor.use_img_gt_ac = False
+    mesh = make_mesh(MeshConfig(dp=1), devices=jax.devices()[:1])
+    tr = VLARFTGRPOTrainer(c, preset="tiny", mesh=mesh)
+    metrics = tr.training_step(tr.dataset.next_batch(), jax.random.key(0))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite: {v}"
+    assert "critic/wm_dyn_logprob/mean" in metrics
+    # rollout variance exists: max reward != min reward across the batch
+    assert metrics["critic/rewards/max"] > metrics["critic/rewards/min"]
+    # the decode loop never ran but the timing family is still uniform
+    assert "timing_s/wm_rollout" in metrics

@@ -99,7 +99,22 @@ def make_config(args):
 
     chunk = 8
     tpf = 16  # dyn tokens/frame at the push preset (8x8 ctx, 4x4 dyn grids)
-    return vla_rft_default_config().apply_overrides([
+    size_ov = []
+    for field in ("hidden", "inter", "layers", "heads"):
+        v = getattr(args, f"wm_{field}", None)
+        if v:
+            key = {
+                "hidden": "hidden_size", "inter": "intermediate_size",
+                "layers": "num_layers", "heads": "num_heads",
+            }[field]
+            size_ov.append(
+                f"world_model_rollout.model.size_overrides.{key}={v}"
+            )
+            if field == "heads":
+                size_ov.append(
+                    f"world_model_rollout.model.size_overrides.num_kv_heads={v}"
+                )
+    return vla_rft_default_config().apply_overrides(size_ov + [
         "data.train_batch_size=8",
         f"data.video.segment_length={chunk + 1}",
         f"data.max_prompt_length={64 + tpf + 7}",
@@ -122,7 +137,7 @@ def make_config(args):
         "trainer.save_last_freq=-1",
         "trainer.logger=[]",
         f"trainer.total_training_steps={args.rft_steps}",
-    ])
+    ])  # noqa: closing the size_ov + [...] list
 
 
 def build_push_bundle(args):
@@ -273,11 +288,13 @@ def phase_wm(args):
 
     wm = bundle.wm
     params = wm.init(jax.random.key(args.seed), jnp.zeros((1, 8), jnp.int32))
-    sched = optax.warmup_cosine_decay_schedule(0.0, 3e-4, 100, max(args.wm_steps, 101))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.wm_lr, 100, max(args.wm_steps, 101)
+    )
     tx = optax.adamw(sched, weight_decay=0.01)
     opt = tx.init(params)
     rng = np.random.default_rng(args.seed)
-    B = 16
+    B = args.wm_batch
 
     # The tokenizer is FROZEN in this phase: tokenize the whole pool ONCE
     # (chunked) instead of re-encoding 9 conv frames per row per step —
@@ -427,15 +444,23 @@ def phase_wmcheck(args):
     M = len(acts)
 
     # WM rollout for every variant, teacher-forced action tokens
+    import dataclasses as _dc
+
     frames_rep = data["raw_pixel_values"][np.asarray(seg_of)]
     proc = make_segment_tokenizer(bundle, tok_params, ranges)(frames_rep, acts)
     roll = bundle.wm_roll_cfg
+    roll_greedy = _dc.replace(roll, do_sample=False)
     prompt = proc["input_ids"][:, : roll.prompt_length]
-    rewards = []
-    bs = 20
+    rewards, rewards_g = [], []
+    bs = 50
     gen = jax.jit(
         lambda p, r, ids, a: wm_rollout.generate_sequences(
             bundle.wm, p, r, ids, a, roll
+        )
+    )
+    gen_g = jax.jit(
+        lambda p, r, ids, a: wm_rollout.generate_sequences(
+            bundle.wm, p, r, ids, a, roll_greedy
         )
     )
     rew = jax.jit(
@@ -458,21 +483,26 @@ def phase_wmcheck(args):
     lls = []
     for i in range(0, M, bs):
         sl = slice(i, min(i + bs, M))
-        responses = gen(
-            wm_params, jax.random.key(i), jnp.asarray(prompt[sl]),
-            jnp.asarray(proc["action_ids"][sl]),
-        )
-        r, _ = rew(
-            tok_params, lpips_params, responses,
-            jnp.asarray(proc["ctx_tokens"][sl]), jnp.asarray(px_real[sl]),
-        )
+        p_sl = jnp.asarray(prompt[sl])
+        a_sl = jnp.asarray(proc["action_ids"][sl])
+        ctx_sl = jnp.asarray(proc["ctx_tokens"][sl])
+        rf_sl = jnp.asarray(px_real[sl])
+        responses = gen(wm_params, jax.random.key(i), p_sl, a_sl)
+        r, _ = rew(tok_params, lpips_params, responses, ctx_sl, rf_sl)
         rewards += np.asarray(jnp.sum(r, -1), np.float32).tolist()
+        # greedy (argmax) decode: same reward without sampling variance —
+        # if this correlates while the sampled one doesn't, the reward's
+        # problem is rollout NOISE, not the learned dynamics
+        responses_g = gen_g(wm_params, jax.random.key(i), p_sl, a_sl)
+        r_g, _ = rew(tok_params, lpips_params, responses_g, ctx_sl, rf_sl)
+        rewards_g += np.asarray(jnp.sum(r_g, -1), np.float32).tolist()
         lp = lp_fn(wm_params, jnp.asarray(proc["input_ids"][sl]))
         lls += np.asarray(
             (np.asarray(lp) * dyn_mask).sum(-1) / dyn_mask.sum(), np.float32
         ).tolist()
         print(f"[wmcheck] {min(i+bs, M)}/{M}", flush=True)
     rewards = np.asarray(rewards)
+    rewards_g = np.asarray(rewards_g)
     lls = np.asarray(lls)
     true_err = np.asarray(true_err)
 
@@ -483,23 +513,31 @@ def phase_wmcheck(args):
         return float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum()))
 
     rho = spearman(rewards, -true_err)
+    rho_g = spearman(rewards_g, -true_err)
     rho_ll = spearman(lls, -true_err)
     by_scale = {}
     k = len(scales)
     for j, s in enumerate(scales):
         by_scale[str(s)] = {
             "wm_reward": round(float(rewards[j::k].mean()), 4),
+            "wm_reward_greedy": round(float(rewards_g[j::k].mean()), 4),
             "wm_dyn_logprob": round(float(lls[j::k].mean()), 4),
             "true_mae": round(float(true_err[j::k].mean()), 4),
         }
-    mono = all(
-        by_scale[str(scales[j])]["wm_reward"] >= by_scale[str(scales[j + 1])]["wm_reward"]
-        for j in range(k - 1)
-    )
+
+    def monotone(col):
+        return all(
+            by_scale[str(scales[j])][col] >= by_scale[str(scales[j + 1])][col]
+            for j in range(k - 1)
+        )
+
     out = {
         "spearman_reward_vs_true": round(rho, 3),
+        "spearman_greedy_reward_vs_true": round(rho_g, 3),
         "spearman_dyn_logprob_vs_true": round(rho_ll, 3),
-        "reward_monotone_in_noise": bool(mono),
+        "reward_monotone_in_noise": monotone("wm_reward"),
+        "greedy_reward_monotone_in_noise": monotone("wm_reward_greedy"),
+        "dyn_logprob_monotone_in_noise": monotone("wm_dyn_logprob"),
         "by_noise_scale": by_scale,
         "n_segments": n_seg,
         "variants_per_segment": k,
@@ -508,7 +546,7 @@ def phase_wmcheck(args):
         json.dump(out, f, indent=1)
     np.savez(
         os.path.join(args.workdir, "wmcheck_raw.npz"),
-        rewards=rewards, true_err=true_err, lls=lls,
+        rewards=rewards, rewards_greedy=rewards_g, true_err=true_err, lls=lls,
         seg_of=np.asarray(seg_of), scales=np.asarray(scales),
     )
     print(f"[wmcheck] {json.dumps(out)}", flush=True)
@@ -754,6 +792,15 @@ def main(argv=None):
     p.add_argument("--n-segments", type=int, default=1536)
     p.add_argument("--tok-steps", type=int, default=3000)
     p.add_argument("--wm-steps", type=int, default=4000)
+    # WM capacity overrides (None = push preset default 4L/128h/512i/2H):
+    # round-5 found the default UNDERFITS 32k segments (train ce = val ce
+    # = 2.6 plateau); these map to world_model_rollout.model.size_overrides
+    p.add_argument("--wm-hidden", type=int, default=None)
+    p.add_argument("--wm-inter", type=int, default=None)
+    p.add_argument("--wm-layers", type=int, default=None)
+    p.add_argument("--wm-heads", type=int, default=None)
+    p.add_argument("--wm-lr", type=float, default=3e-4)
+    p.add_argument("--wm-batch", type=int, default=16)
     p.add_argument("--check-segments", type=int, default=24)
     p.add_argument("--bc-steps", type=int, default=800)
     p.add_argument("--bc-fraction", type=float, default=1.0)

@@ -237,7 +237,21 @@ def vla_rft_default_config() -> Config:
                 },
             },
             "world_model_rollout": {
-                "model": {"path": None, "use_remove_padding": False},
+                # size_overrides: optional TransformerConfig field overrides
+                # applied on top of the preset's WM architecture (None = use
+                # the preset default).  Lets tools/rft_evidence.py scale the
+                # push WM (capacity sweeps) without a new preset.
+                "model": {
+                    "path": None,
+                    "use_remove_padding": False,
+                    "size_overrides": {
+                        "hidden_size": None,
+                        "intermediate_size": None,
+                        "num_layers": None,
+                        "num_heads": None,
+                        "num_kv_heads": None,
+                    },
+                },
                 "world_model": {"vocab_size": 9008, "interact": True},
                 "rollout": {
                     "w_gt_ac": True,

@@ -54,6 +54,17 @@ def _checked_block_b(config) -> int:
     return max(1, int(config.world_model_rollout.rollout.get("decode_block_b", 32) or 1))
 
 
+def _wm_size_overrides(config, wm_cfg: TransformerConfig) -> TransformerConfig:
+    """Apply world_model_rollout.model.size_overrides (non-None fields only)
+    on top of the preset's WM architecture — capacity sweeps without a new
+    preset (tools/rft_evidence.py --wm-hidden/...)."""
+    ov = config.world_model_rollout.model.get("size_overrides", None)
+    if ov is None:
+        return wm_cfg
+    kw = {k: int(v) for k, v in ov.to_dict().items() if v is not None}
+    return dataclasses.replace(wm_cfg, **kw) if kw else wm_cfg
+
+
 def build_models(config, preset: str = "libero") -> ModelBundle:
     proc = config.processor
     roll = config.world_model_rollout.rollout
@@ -111,6 +122,7 @@ def build_models(config, preset: str = "libero") -> ModelBundle:
             hidden_size=64, intermediate_size=128, num_layers=2, num_heads=4,
             num_kv_heads=4, dtype=jnp.float32, param_dtype=jnp.float32, attn_impl="xla",
         )
+        wm_cfg = _wm_size_overrides(config, wm_cfg)
         tokenizer = CompressiveVQModelFSQ(
             block_out_channels=(8, 16, 16), layers_per_block=1, latent_channels=4,
             norm_num_groups=4, resolution=32, ctx_res=(8, 8), dyn_res=(2, 2),
@@ -176,6 +188,7 @@ def build_models(config, preset: str = "libero") -> ModelBundle:
             num_kv_heads=2, dtype=jnp.float32, param_dtype=jnp.float32,
             attn_impl="xla",
         )
+        wm_cfg = _wm_size_overrides(config, wm_cfg)
         tokenizer = CompressiveVQModelFSQ(
             block_out_channels=(16, 32, 32), layers_per_block=1,
             latent_channels=4, norm_num_groups=4, resolution=32,
@@ -223,6 +236,7 @@ def build_models(config, preset: str = "libero") -> ModelBundle:
             config.world_model_rollout.rollout.get("kv_layout", "hd") or "hd"
         ),
     )
+    wm_cfg = _wm_size_overrides(config, wm_cfg)
     # bf16 compute matches the reference's autocast (fsdp_workers.py:1732,
     # processor batch_forward autocast) and halves reward-stage time
     tokenizer = CompressiveVQModelFSQ(dtype=jnp.bfloat16)

@@ -319,6 +319,21 @@ class VLARFTGRPOTrainer:
             )
 
         @jax.jit
+        def wm_lp_reward_fn(wm_params, input_ids):
+            # EXTENSION reward (trainer.reward_fn="wm_logprob", non-parity):
+            # teacher-forced likelihood of the REAL future under the policy's
+            # actions — ONE WM forward, no decode loop (workers/reward.py
+            # wm_logprob_reward docstring has the rationale)
+            from vla_rft_tpu.workers.reward import wm_logprob_reward
+
+            return wm_logprob_reward(
+                b.wm, wm_params, b.proc_cfg, b.reward_cfg, input_ids,
+                b.wm_roll_cfg.prompt_length,
+            )
+
+        self._wm_lp_reward = wm_lp_reward_fn
+
+        @jax.jit
         def ctx_feats_fn(tok_params, ctx_tokens_unique):
             # ctx-frame decode ONCE per unique sample per step; features are
             # shared by every rollout and both reward branches
@@ -574,181 +589,209 @@ class VLARFTGRPOTrainer:
                     _sync(wm_inputs["input_ids"])
                 _vlog("process done")
 
-                # 5 --- WM rollout (+ optional gt branch), host-chunked: the
-                # KV cache is ~160MB/seq and the scan double-buffers it, so
-                # cap concurrent sequences per chip (max_num_seqs analog,
-                # yaml:224)
-                with timer("wm_rollout", timing):
-                    prompt = wm_inputs["input_ids"][:, : b.wm_roll_cfg.prompt_length]
-                    # NOTE: round 2 clamped speculative rollouts to 16-row
-                    # chunks after a TPU runtime crash at >=64 rows; the
-                    # crash does not reproduce with the bounded-exp kernels
-                    # (re-probed 2026-08-19: spec_k=5 at batch 64 runs clean,
-                    # artifacts/SPEC_r3_b64.log), so the clamp is gone and
-                    # micro_batch_size is honored as configured.
-                    wm_mb = cfg.world_model_rollout.rollout.get("micro_batch_size", 16) or 16
-                    wm_size = wm_mb * self.n_devices
-                    total_r = prompt.shape[0]
-                    # the prompt head (ctx + dyn_0, everything before the
-                    # trailing action tokens) is identical across the n
-                    # rollouts of a sample AND across the policy/gt branches
-                    p0 = b.wm_roll_cfg.prompt_length - b.proc_cfg.action_dim
-                    prefix_unique = prompt[::n, :p0]  # (B_u, P0)
-                    tails = prompt[:, p0:]
-                    pm_branch = np.arange(prompt.shape[0] // n).repeat(n)
+                if cfg.trainer.reward_fn == "wm_logprob":
+                    # EXTENSION (non-parity, documented): the reward is the
+                    # teacher-forced WM log-likelihood of the REAL recorded
+                    # future conditioned on the policy's actions.  Steps 5-6
+                    # collapse into ONE WM forward: no decode loop, no
+                    # detokenize/LPIPS.  Requires recorded future frames
+                    # (dataset segments), like the w_gt_ac=False mae path.
+                    with timer("wm_rollout", timing):
+                        reward_tensor, r_metrics = self._wm_lp_reward(
+                            self.params["wm"], wm_inputs["input_ids"]
+                        )
+                        _sync(reward_tensor)
+                    _vlog("wm_logprob reward done")
+                    with timer("adv", timing):
+                        rm_np = _global_get(r_metrics)
+                        metrics.update(
+                            {k: float(np.mean(v)) for k, v in rm_np.items()}
+                        )
+                        # keep the metric families the msp path emits so
+                        # logging/tests downstream see a uniform schema
+                        metrics.setdefault("critic/recon_loss/mean", 0.0)
+                        metrics.setdefault("critic/perceptual_loss/mean", 0.0)
+                    token_level_rewards = reward_tensor
+                    skip_wm_rollout = True
+                else:
+                    skip_wm_rollout = False
 
-                    _uniform_run = wm_rollout.uniform_prefix_run
+                if not skip_wm_rollout:
+                    # 5 --- WM rollout (+ optional gt branch), host-chunked: the
+                    # KV cache is ~160MB/seq and the scan double-buffers it, so
+                    # cap concurrent sequences per chip (max_num_seqs analog,
+                    # yaml:224)
+                    with timer("wm_rollout", timing):
+                        prompt = wm_inputs["input_ids"][:, : b.wm_roll_cfg.prompt_length]
+                        # NOTE: round 2 clamped speculative rollouts to 16-row
+                        # chunks after a TPU runtime crash at >=64 rows; the
+                        # crash does not reproduce with the bounded-exp kernels
+                        # (re-probed 2026-08-19: spec_k=5 at batch 64 runs clean,
+                        # artifacts/SPEC_r3_b64.log), so the clamp is gone and
+                        # micro_batch_size is honored as configured.
+                        wm_mb = cfg.world_model_rollout.rollout.get("micro_batch_size", 16) or 16
+                        wm_size = wm_mb * self.n_devices
+                        total_r = prompt.shape[0]
+                        # the prompt head (ctx + dyn_0, everything before the
+                        # trailing action tokens) is identical across the n
+                        # rollouts of a sample AND across the policy/gt branches
+                        p0 = b.wm_roll_cfg.prompt_length - b.proc_cfg.action_dim
+                        prefix_unique = prompt[::n, :p0]  # (B_u, P0)
+                        tails = prompt[:, p0:]
+                        pm_branch = np.arange(prompt.shape[0] // n).repeat(n)
 
-                    def run_wm(rng_base, pm_all, tails_all, actions_all, group=n):
-                        # chunk on GROUP boundaries (a group = the rows
-                        # sharing one prompt prefix, n or n+1 with the
-                        # interleaved gt row) so every chunk keeps uniform
-                        # prefix runs for the decode kernel's batch blocks
-                        step_rows = max(group, (wm_size // group) * group)
-                        outs = []
-                        for ci, i in enumerate(range(0, tails_all.shape[0], step_rows)):
-                            sl = slice(i, i + step_rows)
-                            uniq, local = np.unique(pm_all[sl], return_inverse=True)
-                            outs.append(
-                                self._wm_gen(
-                                    self._wm_gen_params(), jax.random.fold_in(rng_base, ci),
-                                    prefix_unique[uniq], jnp.asarray(local, jnp.int32),
-                                    tails_all[sl], actions_all[sl],
-                                    prefix_run=_uniform_run(local),
-                                )
-                            )
-                        return jnp.concatenate(outs, axis=0)
+                        _uniform_run = wm_rollout.uniform_prefix_run
 
-                    gt_per_sample = use_gt_ac and bool(
-                        cfg.world_model_rollout.rollout.get("gt_branch_per_sample", True)
-                    )
-                    if gt_per_sample:
-                        # the gt branch is conditioned only on per-SAMPLE
-                        # inputs (shared prompt head + gt action tokens), so
-                        # one rollout per unique sample suffices: its reward
-                        # contribution is a shared level within each GRPO
-                        # group and cancels exactly in the group-relative
-                        # advantage, while the n duplicate rollouts the
-                        # reference runs (vllm_rollout.py:216-230) only add
-                        # independent sampling noise that does NOT cancel.
-                        # ~halves wm_rollout rows and gt detokenize frames.
-                        # The B_u gt rows ride IN the same chunked call as
-                        # the policy rows: decode is HBM-bound on the weight
-                        # stream, so a separate tiny gt call would pay the
-                        # full per-token weight reads again for 4 rows.
-                        B_u = total_r // n
-                        gt_act_u = wm_inputs["gt_action_ids"][::n]  # (B_u, T, A)
-                        # interleave each sample's gt row right AFTER its n
-                        # rollouts: prefix runs become a uniform n+1, so one
-                        # wm call covers policy+gt rows (the per-token weight
-                        # stream is paid once, not once per chunk) while the
-                        # decode kernel keeps whole-run batch blocks.
-                        # Speculative mode keeps the old appended layout: its
-                        # 16-rows-per-call TPU-runtime envelope can't take
-                        # n+1=17-row groups.
-                        if b.wm_roll_cfg.speculative_k == 0:
-                            idx = np.concatenate(
-                                [
-                                    np.concatenate(
-                                        [np.arange(s * n, (s + 1) * n), [total_r + s]]
+                        def run_wm(rng_base, pm_all, tails_all, actions_all, group=n):
+                            # chunk on GROUP boundaries (a group = the rows
+                            # sharing one prompt prefix, n or n+1 with the
+                            # interleaved gt row) so every chunk keeps uniform
+                            # prefix runs for the decode kernel's batch blocks
+                            step_rows = max(group, (wm_size // group) * group)
+                            outs = []
+                            for ci, i in enumerate(range(0, tails_all.shape[0], step_rows)):
+                                sl = slice(i, i + step_rows)
+                                uniq, local = np.unique(pm_all[sl], return_inverse=True)
+                                outs.append(
+                                    self._wm_gen(
+                                        self._wm_gen_params(), jax.random.fold_in(rng_base, ci),
+                                        prefix_unique[uniq], jnp.asarray(local, jnp.int32),
+                                        tails_all[sl], actions_all[sl],
+                                        prefix_run=_uniform_run(local),
                                     )
-                                    for s in range(B_u)
-                                ]
-                            )
-                            group = n + 1
-                        else:
-                            idx = np.arange(total_r + B_u)
-                            group = n
-                        both = run_wm(
-                            r_wm,
-                            np.concatenate([pm_branch, np.arange(B_u)])[idx],
-                            jnp.concatenate([tails, gt_act_u[:, 0]], axis=0)[idx],
-                            jnp.concatenate(
-                                [wm_inputs["action_ids"], gt_act_u], axis=0
-                            )[idx],
-                            group=group,
-                        )
-                        both = both[jnp.asarray(np.argsort(idx))]
-                        responses, gt_responses = both[:total_r], both[total_r:]
-                    elif use_gt_ac:
-                        # policy + gt branches share prompts; one concatenated
-                        # batch amortizes the per-step weight reads (decode is
-                        # HBM-bound) when micro_batch_size covers both
-                        both = run_wm(
-                            r_wm,
-                            np.concatenate([pm_branch, pm_branch]),
-                            jnp.concatenate([tails, tails], axis=0),
-                            jnp.concatenate(
-                                [wm_inputs["action_ids"], wm_inputs["gt_action_ids"]], axis=0
-                            ),
-                        )
-                        responses, gt_responses = both[:total_r], both[total_r:]
-                    else:
-                        responses = run_wm(r_wm, pm_branch, tails, wm_inputs["action_ids"])
-                        gt_responses = None
-                    _sync(responses)
-                    if gt_responses is not None:
-                        _sync(gt_responses)
+                                )
+                            return jnp.concatenate(outs, axis=0)
 
-                _vlog("wm_rollout done")
-                # 6 --- reward, micro-batched at host level (the reference
-                # uses tokenizer_micro_batch_size=4 / lpips bs=8 for the same
-                # reason — FSQ decode + VGG at 256^2 x 8 frames is huge)
-                with timer("adv", timing):
-                    rw_mb = cfg.processor.get("tokenizer_micro_batch_size", 8) or 8
-                    rw_size = rw_mb * self.n_devices
-                    total_r = responses.shape[0]
-                    # ctx-frame decode once per UNIQUE sample; features shared
-                    # by all rollouts and both branches in every chunk below
-                    ctx_feats_u = self._ctx_feats(
-                        self.params["tokenizer"], wm_inputs["ctx_tokens"][::n]
-                    )
-                    rew_chunks, rm_acc = [], {}
-                    gt_frames_u = (
-                        self._detok_gtu(
-                            self.params["tokenizer"], gt_responses, ctx_feats_u
+                        gt_per_sample = use_gt_ac and bool(
+                            cfg.world_model_rollout.rollout.get("gt_branch_per_sample", True)
                         )
-                        if gt_per_sample
-                        else None
-                    )  # (B_u, F, H, W, C) decoded once, gathered per chunk
-                    for i in range(0, total_r, rw_size):
-                        sl = slice(i, i + rw_size)
-                        cmap = jnp.asarray(pm_branch[sl], jnp.int32)
                         if gt_per_sample:
+                            # the gt branch is conditioned only on per-SAMPLE
+                            # inputs (shared prompt head + gt action tokens), so
+                            # one rollout per unique sample suffices: its reward
+                            # contribution is a shared level within each GRPO
+                            # group and cancels exactly in the group-relative
+                            # advantage, while the n duplicate rollouts the
+                            # reference runs (vllm_rollout.py:216-230) only add
+                            # independent sampling noise that does NOT cancel.
+                            # ~halves wm_rollout rows and gt detokenize frames.
+                            # The B_u gt rows ride IN the same chunked call as
+                            # the policy rows: decode is HBM-bound on the weight
+                            # stream, so a separate tiny gt call would pay the
+                            # full per-token weight reads again for 4 rows.
+                            B_u = total_r // n
+                            gt_act_u = wm_inputs["gt_action_ids"][::n]  # (B_u, T, A)
+                            # interleave each sample's gt row right AFTER its n
+                            # rollouts: prefix runs become a uniform n+1, so one
+                            # wm call covers policy+gt rows (the per-token weight
+                            # stream is paid once, not once per chunk) while the
+                            # decode kernel keeps whole-run batch blocks.
+                            # Speculative mode keeps the old appended layout: its
+                            # 16-rows-per-call TPU-runtime envelope can't take
+                            # n+1=17-row groups.
+                            if b.wm_roll_cfg.speculative_k == 0:
+                                idx = np.concatenate(
+                                    [
+                                        np.concatenate(
+                                            [np.arange(s * n, (s + 1) * n), [total_r + s]]
+                                        )
+                                        for s in range(B_u)
+                                    ]
+                                )
+                                group = n + 1
+                            else:
+                                idx = np.arange(total_r + B_u)
+                                group = n
+                            both = run_wm(
+                                r_wm,
+                                np.concatenate([pm_branch, np.arange(B_u)])[idx],
+                                jnp.concatenate([tails, gt_act_u[:, 0]], axis=0)[idx],
+                                jnp.concatenate(
+                                    [wm_inputs["action_ids"], gt_act_u], axis=0
+                                )[idx],
+                                group=group,
+                            )
+                            both = both[jnp.asarray(np.argsort(idx))]
+                            responses, gt_responses = both[:total_r], both[total_r:]
+                        elif use_gt_ac:
+                            # policy + gt branches share prompts; one concatenated
+                            # batch amortizes the per-step weight reads (decode is
+                            # HBM-bound) when micro_batch_size covers both
+                            both = run_wm(
+                                r_wm,
+                                np.concatenate([pm_branch, pm_branch]),
+                                jnp.concatenate([tails, tails], axis=0),
+                                jnp.concatenate(
+                                    [wm_inputs["action_ids"], wm_inputs["gt_action_ids"]], axis=0
+                                ),
+                            )
+                            responses, gt_responses = both[:total_r], both[total_r:]
+                        else:
+                            responses = run_wm(r_wm, pm_branch, tails, wm_inputs["action_ids"])
+                            gt_responses = None
+                        _sync(responses)
+                        if gt_responses is not None:
+                            _sync(gt_responses)
+
+                    _vlog("wm_rollout done")
+                    # 6 --- reward, micro-batched at host level (the reference
+                    # uses tokenizer_micro_batch_size=4 / lpips bs=8 for the same
+                    # reason — FSQ decode + VGG at 256^2 x 8 frames is huge)
+                    with timer("adv", timing):
+                        rw_mb = cfg.processor.get("tokenizer_micro_batch_size", 8) or 8
+                        rw_size = rw_mb * self.n_devices
+                        total_r = responses.shape[0]
+                        # ctx-frame decode once per UNIQUE sample; features shared
+                        # by all rollouts and both branches in every chunk below
+                        ctx_feats_u = self._ctx_feats(
+                            self.params["tokenizer"], wm_inputs["ctx_tokens"][::n]
+                        )
+                        rew_chunks, rm_acc = [], {}
+                        gt_frames_u = (
+                            self._detok_gtu(
+                                self.params["tokenizer"], gt_responses, ctx_feats_u
+                            )
+                            if gt_per_sample
+                            else None
+                        )  # (B_u, F, H, W, C) decoded once, gathered per chunk
+                        for i in range(0, total_r, rw_size):
+                            sl = slice(i, i + rw_size)
+                            cmap = jnp.asarray(pm_branch[sl], jnp.int32)
+                            if gt_per_sample:
+                                r, r_metrics = self._reward_feats(
+                                    self.params["tokenizer"], self.params["lpips"],
+                                    responses[sl], ctx_feats_u, cmap,
+                                    jnp.take(gt_frames_u, cmap, axis=0), None,
+                                )
+                                rew_chunks.append(r)
+                                for k, v in r_metrics.items():
+                                    rm_acc.setdefault(k, []).append(v)
+                                continue
+                            if use_gt_ac:
+                                rf = jnp.zeros((1,))
+                                gtr = gt_responses[sl]
+                            else:
+                                # unique frames tiled only within this chunk
+                                uniq = wm_inputs["pixels_w_ctx_unique"][:, 2:]
+                                idx = (jnp.arange(i, min(i + rw_size, total_r)) // n)
+                                rf = uniq[idx]
+                                gtr = None
                             r, r_metrics = self._reward_feats(
                                 self.params["tokenizer"], self.params["lpips"],
-                                responses[sl], ctx_feats_u, cmap,
-                                jnp.take(gt_frames_u, cmap, axis=0), None,
+                                responses[sl], ctx_feats_u, cmap, rf, gtr,
                             )
                             rew_chunks.append(r)
                             for k, v in r_metrics.items():
+                                # keep device scalars — float() here would block
+                                # on each chunk (a relay round-trip per call)
                                 rm_acc.setdefault(k, []).append(v)
-                            continue
-                        if use_gt_ac:
-                            rf = jnp.zeros((1,))
-                            gtr = gt_responses[sl]
-                        else:
-                            # unique frames tiled only within this chunk
-                            uniq = wm_inputs["pixels_w_ctx_unique"][:, 2:]
-                            idx = (jnp.arange(i, min(i + rw_size, total_r)) // n)
-                            rf = uniq[idx]
-                            gtr = None
-                        r, r_metrics = self._reward_feats(
-                            self.params["tokenizer"], self.params["lpips"],
-                            responses[sl], ctx_feats_u, cmap, rf, gtr,
+                        reward_tensor = jnp.concatenate(rew_chunks, axis=0)
+                        _sync(reward_tensor)
+                        rm_np = _global_get(rm_acc)  # one transfer, not K*chunks
+                        metrics.update(
+                            {k: float(np.mean(v)) for k, v in rm_np.items()}
                         )
-                        rew_chunks.append(r)
-                        for k, v in r_metrics.items():
-                            # keep device scalars — float() here would block
-                            # on each chunk (a relay round-trip per call)
-                            rm_acc.setdefault(k, []).append(v)
-                    reward_tensor = jnp.concatenate(rew_chunks, axis=0)
-                    _sync(reward_tensor)
-                    rm_np = _global_get(rm_acc)  # one transfer, not K*chunks
-                    metrics.update(
-                        {k: float(np.mean(v)) for k, v in rm_np.items()}
-                    )
-                    token_level_rewards = reward_tensor
+                        token_level_rewards = reward_tensor
 
             _vlog("reward done")
             # 7 --- GRPO advantage over uid groups (= repeat structure)

@@ -180,6 +180,53 @@ def msp_reward(
     return reward_tensor, metrics
 
 
+def wm_logprob_reward(
+    wm,
+    wm_params,
+    proc_cfg: ProcessorConfig,
+    reward_cfg: RewardConfig,
+    input_ids: jnp.ndarray,  # (B, prompt+response) ctx_msp layout
+    prompt_length: int,
+    temperature: float = 1.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """EXTENSION (non-parity, documented): teacher-forced WM log-likelihood
+    of the REAL recorded future frames, conditioned on the POLICY's action
+    tokens — no decode loop, so the whole reward is ONE WM forward.
+
+    The reference's reward decodes sampled WM rollouts back to pixels and
+    scores MAE+LPIPS against the real frames (ray_trainer.py:1297-1402).
+    When the sampled rollout is noise-dominated, its MAE stops ranking
+    actions (round-4 wmcheck); the likelihood of the *actual outcome* under
+    the WM's action-conditioned dynamics is the sampling-free analog:
+    actions that better explain the recorded future score higher.
+
+    `input_ids` must interleave the REAL dyn tokens with the policy's action
+    tokens (exactly what workers/processor.ctx_msp_process emits for the
+    trainer's process stage).  Rewards are per-frame mean dyn-token logprob,
+    aggregated with the same msp mean/last/discount modes, written at the
+    last response token like msp_reward.
+    """
+    from vla_rft_tpu.workers import wm_rollout as _wmr
+
+    resp_len = input_ids.shape[1] - prompt_length
+    lp = _wmr.compute_log_prob(
+        wm, wm_params, input_ids, resp_len, temperature=temperature
+    )  # (B, resp_len)
+    F = reward_cfg.num_frames
+    tpf = proc_cfg.tokens_per_frame
+    per_frame = tpf + proc_cfg.action_dim
+    assert resp_len == F * per_frame, (resp_len, F, per_frame)
+    # (B, F, tpf+A) -> dyn positions only (action tokens are the policy's
+    # own inputs, not WM predictions we want to score)
+    lp_f = lp.reshape(lp.shape[0], F, per_frame)[:, :, :tpf]
+    frame_ll = lp_f.mean(-1)  # (B, F)
+    agg = aggregate_msp(-frame_ll, reward_cfg)  # aggregate of NEGATIVE ll
+    reward_tensor = jnp.zeros(input_ids[:, prompt_length:].shape, jnp.float32)
+    reward_tensor = reward_tensor.at[:, -1].set(-agg)  # = aggregated ll
+    metrics = {"critic/wm_dyn_logprob/mean": frame_ll.mean()}
+    return reward_tensor, metrics
+
+
 def ac_reward(
     gt_actions: jnp.ndarray,  # (B, C, A)
     predicted_actions: jnp.ndarray,  # (B, C, A)
