@@ -367,20 +367,46 @@ def phase_wm(args):
         nll = -jnp.take_along_axis(lp, tgt.clip(0)[..., None], axis=-1)[..., 0]
         return (nll * valid).sum() / valid.sum()
 
+    # FIXED val set for best-checkpoint selection: a single random val
+    # batch (B=16) has ~0.1-0.2 CE of sampling noise, enough to pick the
+    # wrong checkpoint.  8 fixed batches give a stable selection metric.
+    vrng = np.random.default_rng(args.seed + 1)
+    val_rows = va_idx[vrng.integers(0, len(va_idx), (8, B))]
+    val_ids = jnp.asarray(all_ids[val_rows])
+    val_labels = jnp.asarray(all_labels[val_rows])
+
+    def val_ce(p):
+        return float(
+            np.mean([
+                float(eval_loss(p, val_ids[j], val_labels[j]))
+                for j in range(val_ids.shape[0])
+            ])
+        )
+
     t0 = time.time()
     n_blocks = max(1, args.wm_steps // K)
+    best = (float("inf"), None, 0)
     for blk in range(n_blocks):
         rows = tr_idx[rng.integers(0, len(tr_idx), (K, B))]
         params, opt, loss = multi_step(
             params, opt, jnp.asarray(all_ids[rows]), jnp.asarray(all_labels[rows])
         )
         if blk % 8 == 0 or blk == n_blocks - 1:
-            vids, vlabels = batch_ids(va_idx)
-            vl = float(eval_loss(params, vids, vlabels))
+            vl = val_ce(params)
+            if vl < best[0]:
+                best = (vl, jax.device_get(params), (blk + 1) * K)
             print(f"[wm {(blk+1)*K}] ce {float(loss):.4f} val_ce {vl:.4f} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
+                  f"best {best[0]:.4f}@{best[2]} ({time.time()-t0:.0f}s)",
+                  flush=True)
+    # wm.npz = BEST-val params (the 20k-step r5 run overfit: val CE
+    # bottomed ~1.5 near step 5k then rose to 2.6 — saving `final` there
+    # would hand wmcheck a memorized WM); wm_final.npz kept for A/B.
+    save_tree(os.path.join(args.workdir, "wm_final.npz"), params)
+    if best[1] is not None:
+        params = best[1]
     save_tree(os.path.join(args.workdir, "wm.npz"), params)
-    print(f"[wm] saved ({time.time()-t0:.0f}s)", flush=True)
+    print(f"[wm] saved best val_ce {best[0]:.4f} @ step {best[2]} "
+          f"({time.time()-t0:.0f}s)", flush=True)
 
 
 def phase_wmcheck(args):
