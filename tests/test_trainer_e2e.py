@@ -149,8 +149,11 @@ def test_validate_runs(trainer):
     m = trainer.validate(jax.random.key(5))
     assert "val/reward" in m and np.isfinite(m["val/reward"])
     assert "val/critic/recon_loss/mean" in m
-    # synthetic fallback reuses the training stream; the metrics must say so
-    assert m["val/on_train_stream"] == 1.0
+    # fully-defaulted datasets get a disjoint-seed synthetic VAL stream
+    # (held-out by construction); the metrics must say so
+    assert m["val/on_train_stream"] == 0.0
+    assert trainer.val_dataset is not trainer.dataset
+    assert trainer.val_dataset.cfg.seed != trainer.dataset.cfg.seed
 
 
 def test_validate_dumps_frame_grid(trainer, tmp_path):

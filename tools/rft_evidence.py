@@ -126,7 +126,10 @@ def make_config(args):
         "world_model_rollout.rollout.w_gt_ac=False",
         "processor.use_img_gt_ac=False",
         "trainer.loss_weight.lpips=0.0",
-        "trainer.reward_fn=mae",
+        # mae = reference-parity sampled rollout reward; wm_logprob = the
+        # documented non-parity variant (teacher-forced WM likelihood of the
+        # real future under policy actions) — picked by the wmcheck gate
+        f"trainer.reward_fn={getattr(args, 'reward_fn', 'mae')}",
         f"actor_rollout_ref.rollout.n={args.rollout_n}",
         "actor_rollout_ref.rollout.num_flow_steps=10",
         f"actor_rollout_ref.actor.ppo_mini_batch_size={8 * args.rollout_n}",
@@ -830,6 +833,7 @@ def main(argv=None):
     p.add_argument("--check-segments", type=int, default=24)
     p.add_argument("--bc-steps", type=int, default=800)
     p.add_argument("--bc-fraction", type=float, default=1.0)
+    p.add_argument("--reward-fn", default="mae", choices=["mae", "wm_logprob"])
     p.add_argument("--rft-steps", type=int, default=400)
     p.add_argument("--rft-lr", type=float, default=3e-5)
     p.add_argument("--rollout-n", type=int, default=8)

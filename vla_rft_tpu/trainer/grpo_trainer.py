@@ -131,9 +131,21 @@ class VLARFTGRPOTrainer:
             )
         )
         # validation draws from a HELD-OUT split when one is provided
-        # (ray_trainer.py:1157-1214 builds a separate val dataloader); the
-        # synthetic fallback keeps the round-1 behavior of sampling the
-        # training stream.
+        # (ray_trainer.py:1157-1214 builds a separate val dataloader).  When
+        # BOTH datasets are defaulted (bench / smoke runs), the val stream is
+        # a second synthetic generator on a disjoint seed: same distribution,
+        # batches never trained on — honest held-out validation without a
+        # fixture.  on_train_stream=1 only remains when the caller passed a
+        # training dataset but no val split.
+        if val_dataset is None and dataset is None:
+            import dataclasses as _dc
+
+            val_dataset = SyntheticVLADataset(
+                _dc.replace(
+                    self.dataset.cfg,
+                    seed=config.trainer.get("seed", 0) + 99991,
+                )
+            )
         self.val_dataset = val_dataset if val_dataset is not None else self.dataset
         self._val_on_train_stream = val_dataset is None
         if self._val_on_train_stream:
@@ -1072,12 +1084,22 @@ class VLARFTGRPOTrainer:
         batch = self.dataset.next_batch()
         self._prefetched_batch = None
         while self.global_steps <= self.total_training_steps:
+            # dataloader state snapshot BEFORE drawing the prefetch batch:
+            # after a resume at step N+1, next_batch() must return exactly
+            # this iteration's `nxt` — saving the post-draw counter instead
+            # shifts the batch stream by one across a kill+resume (caught by
+            # tools/endurance.py's overlap-reproducibility audit)
+            self._dl_ckpt_state = self.dataset.state_dict()
             nxt = (
                 self.dataset.next_batch()
                 if self.global_steps < self.total_training_steps
                 else None
             )
-            rng, step_rng = jax.random.split(rng)
+            # fold_in by step (not sequential split): a kill+resume replays
+            # the steps since the last checkpoint with the SAME rng path, so
+            # the overlap window is bit-reproducible (tools/endurance.py
+            # audits this; the reference gets it from torch per-step seeding)
+            step_rng = jax.random.fold_in(rng, self.global_steps)
             metrics = self.training_step(batch, step_rng, next_batch_np=nxt)
             batch = self._prefetched_batch if nxt is not None else None
             if test_freq > 0 and self.global_steps % test_freq == 0:
@@ -1093,11 +1115,12 @@ class VLARFTGRPOTrainer:
 
     # ------------------------------------------------------------ checkpoints
     def _save_checkpoint(self):
+        dl_state = getattr(self, "_dl_ckpt_state", None) or self.dataset.state_dict()
         state = {
             "expert": self.params["expert"],
             "opt_state": self.opt_state,
             "step": np.asarray(self.global_steps),
-            "dataloader": {k: np.asarray(v) for k, v in self.dataset.state_dict().items()},
+            "dataloader": {k: np.asarray(v) for k, v in dl_state.items()},
         }
         path = self.ckpt.save(self.global_steps, state)
         # dataset statistics ride along for unnormalization at eval time
