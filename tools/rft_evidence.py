@@ -582,11 +582,18 @@ def phase_wmcheck(args):
 
 
 def phase_bc(args):
+    """Flow-matching BC from scratch, DEVICE-RESIDENT: the whole training
+    pool (uint8 pixels + proprio + expert chunks) is uploaded ONCE and
+    batches are gathered on-device inside a K-step lax.scan — the r5 naive
+    loop paid ~6MB of pixel upload per step through the relay tunnel and was
+    transfer-bound at 0.3s/step."""
     import jax
     import jax.numpy as jnp
+    import optax
 
-    from vla_rft_tpu.data.push_data import PushSegmentDataset, load_segments, train_val_split
+    from vla_rft_tpu.data.push_data import build_push_prompt, load_segments, train_val_split
     from vla_rft_tpu.models.factory import fast_random_params
+    from vla_rft_tpu.models.action_head import sample_noisy_actions
     from vla_rft_tpu.trainer.sft_trainer import VLAAdapterSFTTrainer
 
     cfg, bundle = build_push_bundle(args)
@@ -594,39 +601,95 @@ def phase_bc(args):
     tr_idx, va_idx = train_val_split(data, seed=args.seed)
     if args.bc_fraction < 1.0:  # deliberately weak BC: less data
         tr_idx = tr_idx[: max(8, int(len(tr_idx) * args.bc_fraction))]
-    ds = PushSegmentDataset(
-        data, batch_size=16, seed=args.seed, expert_targets=True, indices=tr_idx
-    )
-    val_ds = PushSegmentDataset(
-        data, batch_size=32, seed=args.seed + 1, expert_targets=True, indices=va_idx
-    )
     params = fast_random_params(bundle, args.seed)
     trainer = VLAAdapterSFTTrainer(
         bundle.vla, bundle.expert, params["vla"], params["expert"],
-        lr=3e-4, expert_lr=1e-3,
+        lr=args.bc_lr, expert_lr=args.bc_lr * 3.0,
     )
-    rng = jax.random.key(args.seed)
-    t0 = time.time()
-    for step in range(1, args.bc_steps + 1):
-        b = {k: jnp.asarray(v) for k, v in ds.next_batch().items() if k != "sim_states"}
-        rng, sub = jax.random.split(rng)
-        loss = trainer.training_step(
-            sub,
-            {
-                "input_ids": b["input_ids"],
-                "attention_mask": b["attention_mask"],
-                "labels": b["labels"],
-                "pixels": b["pixel_values"],
-                "proprio": b["proprio"],
-                "actions": b["actions"],
-            },
+    tx = trainer.tx
+    B = args.bc_batch
+
+    pool_px = jnp.asarray(data["policy_pixels"][tr_idx])  # uint8, once
+    pool_pr = jnp.asarray(data["proprio"][tr_idx])
+    pool_ac = jnp.asarray(data["expert_actions"][tr_idx])
+    ids, attn, labels = build_push_prompt(32, 8)
+    ids_j, attn_j, labels_j = (jnp.asarray(x) for x in (ids, attn, labels))
+    base_rng = jax.random.key(args.seed)
+
+    def make_batch(rows_px, rows_pr, rows_ac):
+        px = rows_px.astype(jnp.float32) / 255.0
+        n = rows_px.shape[0]
+        return {
+            "pixels": jnp.concatenate([px, px], axis=-1),
+            "proprio": rows_pr,
+            "input_ids": jnp.tile(ids_j, (n, 1)),
+            "attention_mask": jnp.tile(attn_j, (n, 1)),
+            "labels": jnp.tile(labels_j, (n, 1)),
+            "actions": rows_ac,
+        }
+
+    K = 25
+
+    # pools are ARGUMENTS, not closures: a closed-over jnp array becomes an
+    # HLO constant, and a 320MB constant has to ride the remote-compile RPC
+    # (observed: >15 min "compiles" through the tunnel before this change)
+    @jax.jit
+    def multi_step(params, opt, offset, pool_px, pool_pr, pool_ac):
+        def one_step(carry, step_i):
+            params, opt = carry
+            r = jax.random.fold_in(base_rng, step_i)
+            r_rows, r_noise = jax.random.split(r)
+            rows = jax.random.randint(r_rows, (B,), 0, pool_px.shape[0])
+            batch = make_batch(pool_px[rows], pool_pr[rows], pool_ac[rows])
+            noise_dict = sample_noisy_actions(
+                r_noise, batch["actions"], bundle.expert.cfg
+            )
+            loss, grads = jax.value_and_grad(trainer._loss)(params, batch, noise_dict)
+            updates, opt = tx.update(grads, opt, params)
+            return (optax.apply_updates(params, updates), opt), loss
+
+        (params, opt), losses = jax.lax.scan(
+            one_step, (params, opt), offset + jnp.arange(K)
         )
-        if step % 100 == 0 or step == args.bc_steps:
-            print(f"[bc {step}] flow_bc {float(loss):.4f} ({time.time()-t0:.0f}s)",
+        return params, opt, losses.mean()
+
+    # fixed held-out val batch: flow loss for best-checkpoint selection
+    vrng = np.random.default_rng(args.seed + 1)
+    vrows = va_idx[vrng.integers(0, len(va_idx), 128)]
+    val_px = jnp.asarray(data["policy_pixels"][vrows])
+    val_pr = jnp.asarray(data["proprio"][vrows])
+    val_ac = jnp.asarray(data["expert_actions"][vrows])
+
+    @jax.jit
+    def val_loss(params, val_px, val_pr, val_ac):
+        batch = make_batch(val_px, val_pr, val_ac)
+        noise_dict = sample_noisy_actions(
+            jax.random.key(args.seed + 2), batch["actions"], bundle.expert.cfg
+        )
+        return trainer._loss(params, batch, noise_dict)
+
+    params, opt = trainer.params, trainer.opt_state
+    print("[bc] pools on device, training starts", flush=True)
+    t0 = time.time()
+    best = (float("inf"), None, 0)
+    n_blocks = max(1, args.bc_steps // K)
+    for blk in range(n_blocks):
+        params, opt, loss = multi_step(
+            params, opt, jnp.int32(blk * K), pool_px, pool_pr, pool_ac
+        )
+        if blk % 8 == 0 or blk == n_blocks - 1:
+            vl = float(val_loss(params, val_px, val_pr, val_ac))
+            if vl < best[0]:
+                best = (vl, jax.device_get(params), (blk + 1) * K)
+            print(f"[bc {(blk+1)*K}] flow_bc {float(loss):.4f} val {vl:.4f} "
+                  f"best {best[0]:.4f}@{best[2]} ({time.time()-t0:.0f}s)",
                   flush=True)
-    save_tree(os.path.join(args.workdir, "bc_vla.npz"), trainer.params["vla"])
-    save_tree(os.path.join(args.workdir, "bc_expert.npz"), trainer.params["expert"])
-    print(f"[bc] saved ({time.time()-t0:.0f}s)", flush=True)
+    if best[1] is not None:
+        params = best[1]
+    save_tree(os.path.join(args.workdir, "bc_vla.npz"), params["vla"])
+    save_tree(os.path.join(args.workdir, "bc_expert.npz"), params["expert"])
+    print(f"[bc] saved best val {best[0]:.4f} @ step {best[2]} "
+          f"({time.time()-t0:.0f}s)", flush=True)
 
 
 def _eval_policy(args, vla_params, expert_params, episodes_per_task=10, tag=""):
@@ -832,6 +895,8 @@ def main(argv=None):
     p.add_argument("--wm-batch", type=int, default=16)
     p.add_argument("--check-segments", type=int, default=24)
     p.add_argument("--bc-steps", type=int, default=800)
+    p.add_argument("--bc-batch", type=int, default=32)
+    p.add_argument("--bc-lr", type=float, default=3e-4)
     p.add_argument("--bc-fraction", type=float, default=1.0)
     p.add_argument("--reward-fn", default="mae", choices=["mae", "wm_logprob"])
     p.add_argument("--rft-steps", type=int, default=400)
@@ -841,9 +906,19 @@ def main(argv=None):
     p.add_argument("--eval-max-steps", type=int, default=220)
     p.add_argument("--policy-vla", default="bc_vla.npz")
     p.add_argument("--policy-expert", default="bc_expert.npz")
+    p.add_argument(
+        "--im2col", action="store_true",
+        help="lower convs via the parity-tested im2col escape hatch "
+        "(utils/conv_im2col.py) — for tunnel sessions where a fresh conv "
+        "HLO costs minutes to compile",
+    )
     args = p.parse_args(argv)
     os.makedirs(args.workdir, exist_ok=True)
     _select_platform()
+    if args.im2col:
+        from vla_rft_tpu.utils.conv_im2col import enable_im2col_conv
+
+        enable_im2col_conv()
 
     phases = (
         ["collect", "tokenizer", "wm", "wmcheck", "bc", "rft", "report"]

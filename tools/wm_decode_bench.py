@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--kv-layout", default="hd", choices=["hd", "heads"])
     ap.add_argument("--profile", default="", help="capture a jax.profiler trace of one timed rollout to this dir")
     ap.add_argument("--weights-int8", action="store_true")
+    ap.add_argument(
+        "--no-fused", action="store_true",
+        help="force the flax per-op decode path (A/B: fused pallas layer "
+        "kernels vs XLA op-by-op at the SAME layout/dtype)",
+    )
     ap.add_argument("--spec-k", type=int, default=0)
     ap.add_argument(
         "--uniques", type=int, default=0,
@@ -79,7 +84,8 @@ def main():
     p0 = roll.prompt_length - roll.action_dim
     for n_seg in args.segs:
         rc = dataclasses.replace(
-            roll, cache_segments=n_seg, speculative_k=args.spec_k
+            roll, cache_segments=n_seg, speculative_k=args.spec_k,
+            fused_layers=not args.no_fused,
         )
 
         if args.uniques:
