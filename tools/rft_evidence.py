@@ -602,9 +602,21 @@ def phase_bc(args):
     if args.bc_fraction < 1.0:  # deliberately weak BC: less data
         tr_idx = tr_idx[: max(8, int(len(tr_idx) * args.bc_fraction))]
     params = fast_random_params(bundle, args.seed)
+    if args.bc_decay:
+        # warmup+cosine to ~3% of peak: the 8k-step constant-lr run's val
+        # plateaued noisily at 0.07; decay lets the tail actually converge
+        warm = min(300, max(1, args.bc_steps // 4))
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, args.bc_lr, warm, args.bc_steps, args.bc_lr * 0.03
+        )
+        expert_lr = optax.warmup_cosine_decay_schedule(
+            0.0, args.bc_lr * 3.0, warm, args.bc_steps, args.bc_lr * 0.09
+        )
+    else:
+        lr, expert_lr = args.bc_lr, args.bc_lr * 3.0
     trainer = VLAAdapterSFTTrainer(
         bundle.vla, bundle.expert, params["vla"], params["expert"],
-        lr=args.bc_lr, expert_lr=args.bc_lr * 3.0,
+        lr=lr, expert_lr=expert_lr,
     )
     tx = trainer.tx
     B = args.bc_batch
@@ -897,6 +909,8 @@ def main(argv=None):
     p.add_argument("--bc-steps", type=int, default=800)
     p.add_argument("--bc-batch", type=int, default=32)
     p.add_argument("--bc-lr", type=float, default=3e-4)
+    p.add_argument("--bc-decay", action="store_true",
+                   help="warmup+cosine lr schedule over --bc-steps")
     p.add_argument("--bc-fraction", type=float, default=1.0)
     p.add_argument("--reward-fn", default="mae", choices=["mae", "wm_logprob"])
     p.add_argument("--rft-steps", type=int, default=400)
