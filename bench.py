@@ -43,6 +43,13 @@ def main():
     from vla_rft_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if os.environ.get("BENCH_IM2COL"):
+        # parity-tested conv->GEMM lowering (utils/conv_im2col.py): unblocks
+        # reward-stage sweeps whose fresh conv HLOs compile pathologically
+        # slowly through the remote tunnel (270s per 3x3 conv, DESIGN_NOTES)
+        from vla_rft_tpu.utils.conv_im2col import enable_im2col_conv
+
+        enable_im2col_conv()
     import jax.numpy as jnp
 
     from vla_rft_tpu.config import vla_rft_default_config

@@ -133,8 +133,9 @@ def orchestrate(args):
     t_start = time.time()
     proc = _spawn_child(args)
     killed_at = None
+    crash_respawns = 0
     # poll the jsonl until the kill step appears, then SIGKILL (no cleanup)
-    while proc.poll() is None:
+    while True:
         rows = _read_jsonl(jsonl)
         if rows and args.kill_at and rows[-1]["step"] >= args.kill_at:
             killed_at = rows[-1]["step"]
@@ -142,20 +143,47 @@ def orchestrate(args):
             proc.wait()
             print(f"[endurance] SIGKILLed child at step {killed_at}", flush=True)
             break
+        rc = proc.poll()
+        if rc is not None:
+            if rc == 0:  # finished before the kill step (kill_at > steps)
+                break
+            # transient infra death (e.g. the remote-compile tunnel dropping
+            # mid-read) — the production posture is resume-from-checkpoint,
+            # which is exactly what respawning with resume_mode=auto does
+            if crash_respawns >= args.max_crash_respawns:
+                raise SystemExit(
+                    f"child died rc={rc} before kill step "
+                    f"({crash_respawns} respawns exhausted)"
+                )
+            crash_respawns += 1
+            print(
+                f"[endurance] child died rc={rc} before kill step; "
+                f"respawn {crash_respawns}/{args.max_crash_respawns}",
+                flush=True,
+            )
+            proc = _spawn_child(args)
         time.sleep(2.0)
-    if killed_at is None and proc.poll() not in (0, None):
-        raise SystemExit(f"child died rc={proc.returncode} before kill step")
 
     pre_rows = _read_jsonl(jsonl)
-    if args.kill_at:
-        proc = _spawn_child(args)
-        rc = proc.wait()
-        if rc != 0:
-            raise SystemExit(f"resumed child failed rc={rc}")
+    if args.kill_at and killed_at is not None:
+        while True:
+            proc = _spawn_child(args)
+            rc = proc.wait()
+            if rc == 0:
+                break
+            if crash_respawns >= args.max_crash_respawns:
+                raise SystemExit(f"resumed child failed rc={rc}")
+            crash_respawns += 1
+            print(
+                f"[endurance] resumed child died rc={rc}; "
+                f"respawn {crash_respawns}/{args.max_crash_respawns}",
+                flush=True,
+            )
 
     rows = _read_jsonl(jsonl)
     audit = _audit(rows, pre_rows, args, killed_at)
     audit["wall_s"] = round(time.time() - t_start, 1)
+    audit["crash_respawns"] = crash_respawns
     out_path = os.path.join(args.workdir, "ENDURANCE.json")
     with open(out_path, "w") as f:
         json.dump(audit, f, indent=1)
@@ -229,6 +257,11 @@ def main():
     p.add_argument("--preset", default="libero")
     p.add_argument("--workdir", default="artifacts/endurance")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--max-crash-respawns", type=int, default=3,
+        help="respawn budget for children that die on transient infra "
+        "errors (tunnel drops) — resume_mode=auto makes respawn == resume",
+    )
     args = p.parse_args()
     if args.mode == "child":
         child_main(args)
