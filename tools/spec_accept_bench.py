@@ -18,7 +18,11 @@ Prints one JSON line with times + acceptance.
 import argparse
 import dataclasses
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 from vla_rft_tpu.utils.cache import enable_compilation_cache
@@ -70,7 +74,22 @@ def main():
     ap.add_argument("--hidden", type=int, default=0)
     ap.add_argument("--greedy", action="store_true")
     ap.add_argument("--params-cache", default="", help="npz path: load trained params if present, else train+save")
+    ap.add_argument(
+        "--push-workdir", default="",
+        help="rft_evidence workdir: measure on the CONVERGED push WM "
+        "(wm.npz) with REAL tokenized segments (wm_tokens.npz) instead of "
+        "the synthetic-churn model — the VERDICT-r4 'acceptance on the "
+        "converged WM' closure.  --wm-hidden/--wm-inter/--wm-layers/"
+        "--wm-heads must match the checkpoint's training overrides.",
+    )
+    ap.add_argument("--wm-hidden", type=int, default=None)
+    ap.add_argument("--wm-inter", type=int, default=None)
+    ap.add_argument("--wm-layers", type=int, default=None)
+    ap.add_argument("--wm-heads", type=int, default=None)
     args = ap.parse_args()
+
+    if args.push_workdir:
+        return push_wm_main(args)
 
     cfg = TransformerConfig.wm_llama_small(vocab_size=9008, kv_cache_dtype="int8")
     if args.layers or args.hidden:
@@ -158,9 +177,18 @@ def main():
             actions[:, f] = rng.integers(ACT_OFF, ACT_OFF + 256, (B, A))
     actions = jnp.asarray(actions, jnp.int32)
 
+    _measure(
+        wm, params, roll, prompt, actions, B, F, Vt, A, ctx_len,
+        args.spec_k, args.greedy,
+        {"churn": args.churn, "train_steps": args.train_steps},
+    )
+
+
+def _measure(wm, params, roll, prompt, actions, B, F, Vt, A, ctx_len,
+             spec_k, greedy, extra):
     results = {}
     outs = {}
-    for k in (0, args.spec_k):
+    for k in (0, spec_k):
         rc = dataclasses.replace(roll, speculative_k=k)
         fn = jax.jit(
             lambda p, r, ids, acts, rc=rc: generate_sequences(wm, p, r, ids, acts, rc)
@@ -182,20 +210,66 @@ def main():
         )  # fixed key for cross-mode comparison
         results[f"spec_k={k}"] = {"time_s": round(dt, 3), "prev_frame_match": round(acc, 3)}
         print(f"[spec_k={k}] {dt:.3f}s/rollout  prev-frame match {acc:.3f}", flush=True)
-    eq = float((outs[0] == outs[args.spec_k]).mean())
+    eq = float((outs[0] == outs[spec_k]).mean())
     print(f"[equality] spec vs plain tokens equal: {eq:.4f}"
-          + ("  (greedy MUST be 1.0)" if args.greedy else "  (sampled: streams differ)"),
+          + ("  (greedy MUST be 1.0)" if greedy else "  (sampled: streams differ)"),
           flush=True)
 
-    base = results[f"spec_k=0"]["time_s"]
-    spec = results[f"spec_k={args.spec_k}"]["time_s"]
+    base = results["spec_k=0"]["time_s"]
+    spec = results[f"spec_k={spec_k}"]["time_s"]
     print(json.dumps({
         "metric": "spec_decode_speedup",
         "value": round(base / spec, 3),
         "unit": "x",
-        "extra": {**results, "churn": args.churn, "batch": B,
-                  "train_steps": args.train_steps, "greedy": args.greedy},
+        "extra": {**results, "batch": B, "greedy": greedy, **extra},
     }))
+
+
+def push_wm_main(args):
+    """Acceptance + speedup on the CONVERGED push world model with real
+    held-out tokenized segments (the data whose copy-prev-frame dyn-token
+    redundancy is ~0.48, rising 0.41->0.58 over the 8-frame horizon)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.rft_evidence import build_push_bundle, load_tree
+    from vla_rft_tpu.models.factory import fast_random_params
+
+    # fields make_config reads that have no meaning for this bench
+    for k, v in (("rollout_n", 8), ("rft_lr", 3e-5), ("rft_steps", 400),
+                 ("reward_fn", "mae")):
+        if not hasattr(args, k):
+            setattr(args, k, v)
+    cfg, bundle = build_push_bundle(args)
+    like = fast_random_params(bundle, 0)
+    params = load_tree(os.path.join(args.push_workdir, "wm.npz"), like["wm"])
+    wm = bundle.wm
+
+    z = np.load(os.path.join(args.push_workdir, "wm_tokens.npz"))
+    ids = np.asarray(z["ids"], np.int32)
+    ctx_len, Vt, A = 64, 16, 7
+    F = 8
+    prompt_len = ctx_len + Vt + A
+    B = args.batch
+    rows = ids[-B:]  # tail rows: held out by collection order
+    prompt = jnp.asarray(rows[:, :prompt_len], jnp.int32)
+    actions = np.zeros((B, F + 1, A), np.int64)
+    for f in range(F + 1):
+        start = ctx_len + Vt + f * (Vt + A)
+        if start + A <= rows.shape[1]:
+            actions[:, f] = rows[:, start : start + A]
+    actions = jnp.asarray(actions, jnp.int32)
+
+    roll = WMRolloutConfig(
+        prompt_length=prompt_len, response_length=F * (Vt + A), num_frames=F,
+        interact_max_tokens=Vt, temperature=1.0, top_p=0.8,
+        do_sample=not args.greedy, cache_segments=1,
+    )
+    _measure(
+        wm, params, roll, prompt, actions, B, F, Vt, A, ctx_len,
+        args.spec_k, args.greedy, {"push_workdir": args.push_workdir},
+    )
 
 
 if __name__ == "__main__":

@@ -446,13 +446,34 @@ class Attention(nn.Module):
                     cv = dus5(cv, vw.astype(cv.dtype))
                 new_cache = (ck, cv)
             kv_lens_eff = jnp.minimum(kv_lens, cache_index + S)
+
+            # Multi-token decode chunks (speculative verify) are pallas-
+            # eligible only at Mosaic-validated alignments: query rows
+            # (Hkv*G*S) on the 8-sublane grid and the hd cache's seq dim on
+            # the 128-lane grid.  Off-grid shapes (e.g. the push preset's
+            # Hkv=4, sq=3, Sr=288 f32 cache) hit a Mosaic layout-inference
+            # bug: silently WRONG output at block_b=1 (rel err 3.4e-3 vs
+            # 1e-7 interpret) and 'infer-vector-layout: unsupported shape
+            # cast' at block_b=8 (tools/hd_spec_repro.py, r5).  Production
+            # LIBERO shapes (Hkv=16, int8 128-aligned cache) stay on the
+            # kernel; everything else falls back to the XLA attend path.
+            def _chunk_aligned(seq_len):
+                return S == 1 or (
+                    (nkv * (cfg.num_heads // nkv) * S) % 8 == 0
+                    and seq_len % 128 == 0
+                )
+
             if shared_cache is not None:
                 if int8_cache:
                     sck, scv, ssk, ssv = shared_cache
                 else:
                     sck, scv = shared_cache
                 own_lens = kv_lens_eff - shared_len
-                if S <= 8 and impl in ("auto", "pallas") and on_tpu:
+                _own_seq = ck.shape[2] if use_hd else ck.shape[3]
+                if (
+                    S <= 8 and impl in ("auto", "pallas") and on_tpu
+                    and _chunk_aligned(_own_seq)
+                ):
                     if use_hd:
                         from vla_rft_tpu.ops.decode_attention_hd import (
                             decode_attention_shared_hd,
@@ -525,6 +546,7 @@ class Attention(nn.Module):
             elif (
                 (S <= 8 if use_hd else S == 1)
                 and impl in ("auto", "pallas") and on_tpu
+                and _chunk_aligned(ck.shape[2] if use_hd else ck.shape[3])
             ):
                 # small-query decode: pallas kernel slices the layer out of
                 # the stacked cache via its index map
