@@ -244,6 +244,15 @@ class VLARFTGRPOTrainer:
             )
 
         @jax.jit
+        def rollout_det_fn(expert_params, rng, hidden, noise, proprio):
+            # greedy (deterministic Euler) rollout: the REMAX baseline's
+            # flow-policy analog of do_sample=False generation
+            return flow_actor.rollout_from_hidden(
+                b.expert, expert_params, rng, hidden, noise, proprio, K,
+                deterministic=True,
+            )
+
+        @jax.jit
         def logp_fn(expert_params, hidden, x_chain, proprio):
             return flow_actor.logp_from_hidden(
                 b.expert, expert_params, hidden, x_chain, proprio
@@ -252,19 +261,21 @@ class VLARFTGRPOTrainer:
         n_rollout = cfg.actor_rollout_ref.rollout.n
         use_gt_ac = cfg.world_model_rollout.rollout.w_gt_ac and cfg.processor.use_img_gt_ac
 
-        @jax.jit
-        def process_fn(tok_params, raw_pixels_u8, pred_actions, gt_actions):
+        @functools.partial(jax.jit, static_argnames=("n_rep",))
+        def process_fn(tok_params, raw_pixels_u8, pred_actions, gt_actions, n_rep=n_rollout):
             """Tokenizer worker process (fsdp_workers.py:1841-1870) with the
             unique-frame optimization: raw pixels are per-unique-sample (B),
-            predicted actions per rollout (B*n)."""
+            predicted actions per rollout (B*n_rep).  n_rep defaults to the
+            GRPO n; the REMAX path passes n+1 (each sample's rows are its n
+            sampled rollouts plus one interleaved greedy-baseline rollout)."""
             pixels = raw_pixels_u8.astype(jnp.float32) / 255.0  # (B, T, H, W, C)
             pixels_w, _ = add_context_frame(pixels, gt_actions)  # actions unused here
             idx_c, idx_d = b.tokenizer.apply(
                 tok_params, pixels_w, method=b.tokenizer.tokenize
             )  # (B,1,Nc), (B,T,Nd)
-            # tile visual tokens across the n rollouts (tokens only — tiny)
-            idx_c = jnp.repeat(idx_c, n_rollout, axis=0)
-            idx_d = jnp.repeat(idx_d, n_rollout, axis=0)
+            # tile visual tokens across the rollout rows (tokens only — tiny)
+            idx_c = jnp.repeat(idx_c, n_rep, axis=0)
+            idx_d = jnp.repeat(idx_d, n_rep, axis=0)
 
             def pad_actions(a):
                 # actions_w_ctx_frame (fsdp_workers.py:1852-1854): [a0, a, aT]
@@ -275,7 +286,7 @@ class VLARFTGRPOTrainer:
                 b.proc_cfg, idx_c, idx_d, pred_actions_w, self.action_ranges
             )
             if use_gt_ac:
-                gt_rep = jnp.repeat(gt_actions, n_rollout, axis=0)
+                gt_rep = jnp.repeat(gt_actions, n_rep, axis=0)
                 gt_actions_w = pad_actions(gt_rep)
                 gt_act_ids = (
                     discretize_actions(
@@ -450,8 +461,34 @@ class VLARFTGRPOTrainer:
                 reps = chunk_dims // adv.shape[-1]
                 return jnp.repeat(adv, reps, -1), jnp.repeat(ret, reps, -1)
             if est == "remax":
-                raise NotImplementedError("REMAX is not supported yet")
+                # routed through _advantage_remax (needs the greedy-baseline
+                # reward); training_step never reaches this branch
+                raise NotImplementedError(
+                    "remax advantages need reward_baselines; use _advantage_remax"
+                )
             raise NotImplementedError(est)
+
+        @jax.jit
+        def advantage_remax_fn(token_level_rewards, reward_baselines):
+            """REMAX for the VLA loop — an EXTENSION: the reference raises
+            here (ray_trainer.py:1733-1734) because its VLA path has no
+            greedy-baseline rollout; ours runs the deterministic Euler chain
+            per unique sample and scores it through the SAME WM-reward
+            pipeline.  Rewards live at the last valid response token, so the
+            scalar score is the row sum; the cumsum/baseline math is the
+            tested core algo (core_algos.py:279-305 semantics)."""
+            scores = token_level_rewards.astype(jnp.float32).sum(-1)
+            grid = (
+                jnp.zeros((scores.shape[0], chunk_dims), jnp.float32)
+                .at[:, -1]
+                .set(scores)
+            )
+            mask = jnp.ones_like(grid)
+            return core_algos.compute_remax_outcome_advantage(
+                grid, reward_baselines.astype(jnp.float32), mask
+            )
+
+        self._advantage_remax = advantage_remax_fn
 
         grad_clip = actor_cfg.grad_clip
 
@@ -489,6 +526,7 @@ class VLARFTGRPOTrainer:
         self._encode = encode_fn
         self._sample_noisy = sample_noisy_fn
         self._rollout = rollout_fn
+        self._rollout_det = rollout_det_fn
         self._logp = logp_fn
         self._process = process_fn
         self._wm_gen = wm_gen_fn
@@ -535,6 +573,12 @@ class VLARFTGRPOTrainer:
         actor_cfg = cfg.actor_rollout_ref.actor
         n = cfg.actor_rollout_ref.rollout.n
         use_gt_ac = cfg.world_model_rollout.rollout.w_gt_ac and cfg.processor.use_img_gt_ac
+        # REMAX (EXTENSION — the reference's VLA path raises,
+        # ray_trainer.py:1733-1734): a deterministic Euler rollout per UNIQUE
+        # sample rides the reward stages as one extra interleaved row per
+        # group; its score is the variance-reduction baseline
+        # (core_algos.py:279-305).
+        use_remax = cfg.algorithm.adv_estimator == "remax"
 
         metrics: Dict[str, Any] = {}
         timing: Dict[str, float] = {}
@@ -576,6 +620,17 @@ class VLARFTGRPOTrainer:
                 out = self._rollout(
                     self.params["expert"], r_roll, hidden, noise_dict["noise"], proprio_rep
                 )
+                base_actions = None
+                if use_remax:
+                    # greedy baseline: deterministic Euler chain per unique
+                    # sample (B rows).  fold_in keeps the default path's key
+                    # derivation bit-identical to pre-remax code.
+                    r_base = jax.random.fold_in(r_noise, 1_000_003)
+                    base_noise = self._sample_noisy(r_base, gt_actions)["noise"]
+                    base_actions = self._rollout_det(
+                        self.params["expert"], r_roll, hidden_unique, base_noise,
+                        batch["proprio"],
+                    )["predicted_actions"]
                 _sync(out)
             _vlog("ac_rollout done")
             actor_batch.update(out)
@@ -616,6 +671,7 @@ class VLARFTGRPOTrainer:
                 # swing in BENCH_r4_final* (VERDICT r4 weak #2).
                 self._prefetched_batch = self.put_batch(next_batch_np)
 
+            baseline_scores = None  # REMAX greedy-baseline scores (B,)
             if cfg.trainer.use_ac_reward:
                 # action-space reward path (ray_trainer.py:1628-1646)
                 with timer("ac_reward", timing):
@@ -624,12 +680,34 @@ class VLARFTGRPOTrainer:
                     )
                     metrics.update({k: float(v) for k, v in r_metrics.items()})
                     token_level_rewards = reward_tensor
+                    if use_remax:
+                        base_rt, _ = ac_reward(
+                            gt_actions, base_actions, cfg.trainer.ac_reward_type
+                        )
+                        baseline_scores = base_rt.astype(jnp.float32).sum(-1)
             else:
+                # REMAX: interleave each sample's greedy-baseline row after
+                # its n sampled rollouts, so every reward path below scores
+                # groups of n_wm = n+1 rows with no extra plumbing; stripped
+                # back out after the reward.
+                if use_remax:
+                    n_wm = n + 1
+                    pa = actor_batch["predicted_actions"]
+                    wm_pred_actions = jnp.concatenate(
+                        [
+                            pa.reshape(B, n, *pa.shape[1:]),
+                            base_actions[:, None].astype(pa.dtype),
+                        ],
+                        axis=1,
+                    ).reshape(B * n_wm, *pa.shape[1:])
+                else:
+                    n_wm = n
+                    wm_pred_actions = actor_batch["predicted_actions"]
                 # 4 --- tokenize
                 with timer("process", timing):
                     wm_inputs = self._process(
                         self.params["tokenizer"], batch["raw_pixel_values"],
-                        actor_batch["predicted_actions"], gt_actions,
+                        wm_pred_actions, gt_actions, n_rep=n_wm,
                     )
                     _sync(wm_inputs["input_ids"])
                 _vlog("process done")
@@ -681,13 +759,13 @@ class VLARFTGRPOTrainer:
                         # trailing action tokens) is identical across the n
                         # rollouts of a sample AND across the policy/gt branches
                         p0 = b.wm_roll_cfg.prompt_length - b.proc_cfg.action_dim
-                        prefix_unique = prompt[::n, :p0]  # (B_u, P0)
+                        prefix_unique = prompt[::n_wm, :p0]  # (B_u, P0)
                         tails = prompt[:, p0:]
-                        pm_branch = np.arange(prompt.shape[0] // n).repeat(n)
+                        pm_branch = np.arange(prompt.shape[0] // n_wm).repeat(n_wm)
 
                         _uniform_run = wm_rollout.uniform_prefix_run
 
-                        def run_wm(rng_base, pm_all, tails_all, actions_all, group=n):
+                        def run_wm(rng_base, pm_all, tails_all, actions_all, group=n_wm):
                             # chunk on GROUP boundaries (a group = the rows
                             # sharing one prompt prefix, n or n+1 with the
                             # interleaved gt row) so every chunk keeps uniform
@@ -724,8 +802,8 @@ class VLARFTGRPOTrainer:
                             # the policy rows: decode is HBM-bound on the weight
                             # stream, so a separate tiny gt call would pay the
                             # full per-token weight reads again for 4 rows.
-                            B_u = total_r // n
-                            gt_act_u = wm_inputs["gt_action_ids"][::n]  # (B_u, T, A)
+                            B_u = total_r // n_wm
+                            gt_act_u = wm_inputs["gt_action_ids"][::n_wm]  # (B_u, T, A)
                             # interleave each sample's gt row right AFTER its n
                             # rollouts: prefix runs become a uniform n+1, so one
                             # wm call covers policy+gt rows (the per-token weight
@@ -738,15 +816,15 @@ class VLARFTGRPOTrainer:
                                 idx = np.concatenate(
                                     [
                                         np.concatenate(
-                                            [np.arange(s * n, (s + 1) * n), [total_r + s]]
+                                            [np.arange(s * n_wm, (s + 1) * n_wm), [total_r + s]]
                                         )
                                         for s in range(B_u)
                                     ]
                                 )
-                                group = n + 1
+                                group = n_wm + 1
                             else:
                                 idx = np.arange(total_r + B_u)
-                                group = n
+                                group = n_wm
                             both = run_wm(
                                 r_wm,
                                 np.concatenate([pm_branch, np.arange(B_u)])[idx],
@@ -789,7 +867,7 @@ class VLARFTGRPOTrainer:
                         # ctx-frame decode once per UNIQUE sample; features shared
                         # by all rollouts and both branches in every chunk below
                         ctx_feats_u = self._ctx_feats(
-                            self.params["tokenizer"], wm_inputs["ctx_tokens"][::n]
+                            self.params["tokenizer"], wm_inputs["ctx_tokens"][::n_wm]
                         )
                         rew_chunks, rm_acc = [], {}
                         gt_frames_u = (
@@ -818,7 +896,7 @@ class VLARFTGRPOTrainer:
                             else:
                                 # unique frames tiled only within this chunk
                                 uniq = wm_inputs["pixels_w_ctx_unique"][:, 2:]
-                                idx = (jnp.arange(i, min(i + rw_size, total_r)) // n)
+                                idx = (jnp.arange(i, min(i + rw_size, total_r)) // n_wm)
                                 rf = uniq[idx]
                                 gtr = None
                             r, r_metrics = self._reward_feats(
@@ -838,10 +916,28 @@ class VLARFTGRPOTrainer:
                         )
                         token_level_rewards = reward_tensor
 
+            if use_remax and not cfg.trainer.use_ac_reward:
+                # strip the interleaved greedy-baseline rows back out: the
+                # last row of each n_wm-group is the baseline; the n policy
+                # rows continue to logp/update untouched
+                tl = token_level_rewards.reshape(B, n + 1, -1)
+                baseline_scores = tl[:, -1].astype(jnp.float32).sum(-1)
+                token_level_rewards = tl[:, :-1].reshape(B * n, -1)
+
             _vlog("reward done")
-            # 7 --- GRPO advantage over uid groups (= repeat structure)
+            # 7 --- advantage over uid groups (= repeat structure)
             group_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), n)
-            advantages, returns = self._advantage(token_level_rewards, group_ids, int(B))
+            if use_remax:
+                advantages, returns = self._advantage_remax(
+                    token_level_rewards, jnp.repeat(baseline_scores, n)
+                )
+                metrics["critic/reward_baseline/mean"] = float(
+                    jnp.mean(baseline_scores)
+                )
+            else:
+                advantages, returns = self._advantage(
+                    token_level_rewards, group_ids, int(B)
+                )
             actor_batch["advantages"] = advantages
 
             # 8 --- PPO update

@@ -78,13 +78,20 @@ def rollout_from_hidden(
     noise: jnp.ndarray,
     proprio: jnp.ndarray,
     num_flow_steps: int = 10,
+    deterministic: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Flow rollout given a precomputed VLM context.
 
     The context depends only on (input_ids, pixels, labels) — identical
     across the n GRPO rollouts and across rollout/logp/update phases — so the
     trainer encodes each unique sample ONCE per step and reuses/repeats the
-    hidden states (the reference re-runs the frozen VLM in every phase)."""
+    hidden states (the reference re-runs the frozen VLM in every phase).
+
+    deterministic=True skips the sigma net and Gaussian sampling: each step
+    is the plain Euler mean update, matching eval-time prediction
+    (modeling_prismatic.py:951-1034).  This is the flow-policy analog of
+    REMAX's greedy-baseline generation (do_sample=False in the reference's
+    text path, ray_trainer.py:866-879)."""
     noise = noise.astype(jnp.bfloat16)
     K = num_flow_steps
     dt = -1.0 / K
@@ -98,6 +105,10 @@ def rollout_from_hidden(
             expert_params, hidden, x, t, proprio, method=expert.predict_flow
         )
         mean_next = x + jnp.asarray(dt, x.dtype) * flow.astype(x.dtype)
+        if deterministic:
+            return (mean_next.astype(jnp.bfloat16), key), mean_next.astype(
+                jnp.bfloat16
+            )
         std, _ = expert.apply(
             expert_params, hidden, x, t, proprio, method=expert.predict_std
         )
